@@ -1,0 +1,39 @@
+"""Render configuration.
+
+The reference hardcodes every knob (camera at CSVersion/DxCSApp.cpp:176-179,
+resolution at :330-331, depth/spp packed in sceneValues at :133/:156).  Here
+they live in one frozen, hashable dataclass so configs can be passed as
+static jit arguments and constructed from the CLI/JSON (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1024
+    height: int = 576
+    spp: int = 60          # samples per pixel (ref sceneValues.z)
+    depth: int = 50        # max bounce depth (ref sceneValues.y)
+    t_min: float = 1e-3    # ray epsilon (ref: ShaderCompute.hlsl:262)
+    gamma: float = 2.2     # output gamma (ref toGamma: ShaderCompute.hlsl:99-103)
+    chunk_pixels: int = 16384  # pixels per golden-renderer chunk (memory bound)
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# BASELINE.json configs
+CONFIG1 = RenderConfig(width=200, height=100, spp=4, depth=4)
+CONFIG2 = RenderConfig(width=400, height=200, spp=20, depth=12)
+CONFIG3 = RenderConfig(width=400, height=200, spp=20, depth=12)
+CONFIG4 = RenderConfig(width=800, height=400, spp=100, depth=12)
+CONFIG5 = RenderConfig(width=1920, height=1080, spp=500, depth=12)
+# The reference's own v2 run (ref: CSVersion/DxCSApp.cpp:133,330-331)
+REFERENCE_V2 = RenderConfig(width=1024, height=576, spp=60, depth=50)

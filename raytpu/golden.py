@@ -1,0 +1,324 @@
+"""Pure-jnp golden renderer — the allclose oracle for every other backend.
+
+This is the executable spec of the reference's forward rendering semantics
+(ref: CSVersion/ShaderCompute.hlsl:255-315 driver loop, :155-205 intersection,
+:207-252 materials; the dormant CPU skeleton Sphere.cpp:3-32 is the scalar
+golden for the quadratic).  Written SoA over arbitrary pixel-array shapes in
+straight-line jnp with lax.scan loops, so it is (a) trivially auditable
+against the HLSL, (b) reverse-mode differentiable end-to-end, and (c) the
+same code XLA compiles efficiently on TPU as the non-Pallas fallback path.
+
+Reference quirks preserved (SURVEY.md quirk list — golden.py is the spec):
+- metal always scatters (no "absorbed below surface" check, hlsl:219-227)
+- diffuse scatter direction is normalized (hlsl:212)
+- pixel jitter scaled by 1.1, divided by (dim-1) (hlsl:306-307)
+- t-range (t_min, +inf) for all bounces (hlsl:262)
+- depth-exhausted and scatter-fail rays return black (hlsl:274,286)
+- gamma pow(1/2.2) (hlsl:99-103)
+- deterministic seed from absolute pixel coords only (hlsl:295-296)
+- one RNG state advance per scatter regardless of material branch
+  (branch semantics; all three materials consume exactly one hashN draw);
+  the RNG itself is the counter-based u32 redesign (see raytpu/rng.py)
+
+Discrete-event gradient policy (new capability, not in the reference):
+closest-hit selection, front-face sign, total-internal-reflection and the
+Schlick coin flip are detached (selection masks carry no gradient); the
+selected *continuous* quantities (t, normals, attenuation, directions) carry
+exact gradients.  Finite-difference checks in tests/ validate this away from
+visibility discontinuities.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from raytpu import rng
+from raytpu.camera import Camera, get_ray
+from raytpu.config import RenderConfig
+from raytpu.scene import Scene
+
+_INF = jnp.float32(jnp.inf)
+_SAFE_EPS = jnp.float32(1e-20)
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(_dot3(x, y, z, x, y, z), _SAFE_EPS))
+    return x * inv, y * inv, z * inv
+
+
+def hit_world(scene: Scene, ro, rd, t_min):
+    """Closest-hit over all spheres (ref: ShaderCompute.hlsl:155-205).
+
+    ro, rd: tuples of 3 arrays of common shape S (unnormalized direction).
+    Returns (hit_any S bool, t S f32, idx S i32, normal SoA, front_face S bool).
+
+    The reference's sequential shrinking-t_max loop is equivalent to an
+    argmin over per-sphere nearest-valid roots (proof sketch: per-sphere the
+    far root >= near root, so the history-dependent t_max never changes which
+    root a *winning* sphere contributes; see SURVEY.md §7).  Ties go to the
+    lowest index (the reference's last-wins tie rule differs only on
+    measure-zero configurations).
+    """
+    rox, roy, roz = ro
+    rdx, rdy, rdz = rd
+    cx, cy, cz = scene.center[:, 0], scene.center[:, 1], scene.center[:, 2]
+    rad = scene.radius
+
+    # Broadcast pixels x spheres: shape S + (N,)
+    ocx = rox[..., None] - cx
+    ocy = roy[..., None] - cy
+    ocz = roz[..., None] - cz
+    a = _dot3(rdx, rdy, rdz, rdx, rdy, rdz)[..., None]
+    half_b = ocx * rdx[..., None] + ocy * rdy[..., None] + ocz * rdz[..., None]
+    c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+    disc = half_b * half_b - a * c
+
+    has_root = disc >= 0
+    sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+    root1 = (-half_b - sqrtd) / a
+    root2 = (-half_b + sqrtd) / a
+    # accept near root if >= t_min (reference rejects root < t_min), else far
+    near_ok = root1 >= t_min
+    root = jnp.where(near_ok, root1, root2)
+    ok = has_root & (root >= t_min)
+    t_all = jnp.where(ok, root, _INF)
+
+    t = jnp.min(t_all, axis=-1)
+    idx = jnp.argmin(t_all, axis=-1).astype(jnp.int32)
+    hit_any = jnp.isfinite(t)
+    t = jnp.where(hit_any, t, 1.0)  # safe t for downstream math on dead lanes
+
+    # hit point and outward normal (ref: hlsl:180-183)
+    px = rox + t * rdx
+    py = roy + t * rdy
+    pz = roz + t * rdz
+    hc = scene.center[idx]          # gather: grads flow to centers
+    hr = scene.radius[idx]
+    inv_r = 1.0 / jnp.where(hr == 0, 1.0, hr)
+    nx = (px - hc[..., 0]) * inv_r
+    ny = (py - hc[..., 1]) * inv_r
+    nz = (pz - hc[..., 2]) * inv_r
+    front = _dot3(rdx, rdy, rdz, nx, ny, nz) < 0
+    sgn = jnp.where(front, 1.0, -1.0)
+    return hit_any, t, idx, (nx * sgn, ny * sgn, nz * sgn), front
+
+
+def _reflect(vx, vy, vz, nx, ny, nz):
+    """v - 2*dot(v,n)*n (ref: hlsl:76-79)."""
+    d = _dot3(vx, vy, vz, nx, ny, nz)
+    return vx - 2 * d * nx, vy - 2 * d * ny, vz - 2 * d * nz
+
+
+def _refract(ux, uy, uz, nx, ny, nz, ratio):
+    """Snell refraction of a unit vector (ref: hlsl:81-88)."""
+    cos_theta = jnp.minimum(_dot3(-ux, -uy, -uz, nx, ny, nz), 1.0)
+    px = ratio * (ux + cos_theta * nx)
+    py = ratio * (uy + cos_theta * ny)
+    pz = ratio * (uz + cos_theta * nz)
+    par = -jnp.sqrt(jnp.maximum(
+        jnp.abs(1.0 - _dot3(px, py, pz, px, py, pz)), _SAFE_EPS))
+    return px + par * nx, py + par * ny, pz + par * nz
+
+
+def _schlick(cosine, ref_idx):
+    """Schlick reflectance approximation (ref: hlsl:90-97)."""
+    r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+    r0 = r0 * r0
+    m = 1.0 - cosine
+    return r0 + (1.0 - r0) * (m * m * m * m * m)
+
+
+def scatter(scene: Scene, rd, p, normal, front, idx, seed):
+    """Material scatter (ref: ShaderCompute.hlsl:207-252).
+
+    Returns (scatter_ok, atten SoA, new_dir SoA, new_seed).  All three
+    material branches are computed and selected by mask; every branch
+    consumes the SAME single hash draw, so the seed advance (+0.2) is
+    branch-independent — see module docstring.
+    """
+    rdx, rdy, rdz = rd
+    nx, ny, nz = normal
+    mat = scene.mat_type[idx]
+    alb = scene.albedo[idx]
+    param = scene.mat_param[idx]
+
+    (sx, sy, sz), seed_new = rng.random_in_unit_sphere(seed)
+    h1, _ = rng.hash1(seed)  # same underlying draw, same new seed
+
+    # -- diffuse (hlsl:209-217): dir = normalize(normal + rand_sphere)
+    ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+
+    # -- metal (hlsl:219-227): dir = normalize(reflect(rd, n) + fuzz*rand)
+    rx, ry, rz = _reflect(rdx, rdy, rdz, nx, ny, nz)
+    mdx, mdy, mdz = _normalize3(rx + param * sx, ry + param * sy, rz + param * sz)
+
+    # -- dielectric (hlsl:229-249). Non-glass lanes get a safe IOR so the
+    # unselected branch stays finite (0-fuzz metals would otherwise produce
+    # inf/NaN that poison reverse-mode cotangents through the selects).
+    is_glass = mat == 2
+    ior = jnp.where(is_glass, jnp.maximum(param, 1e-3), 1.5)
+    ux, uy, uz = _normalize3(rdx, rdy, rdz)
+    ratio = jnp.where(front, 1.0 / ior, ior)
+    cosine = jnp.minimum(_dot3(-ux, -uy, -uz, nx, ny, nz), 1.0)
+    sine = jnp.sqrt(jnp.maximum(1.0 - cosine * cosine, 0.0))
+    cannot = ratio * sine > 1.0
+    use_reflect = cannot | (_schlick(cosine, ratio) > h1)
+    rfx, rfy, rfz = _reflect(ux, uy, uz, nx, ny, nz)
+    tx, ty, tz = _refract(ux, uy, uz, nx, ny, nz, ratio)
+    gdx = jnp.where(use_reflect, rfx, tx)
+    gdy = jnp.where(use_reflect, rfy, ty)
+    gdz = jnp.where(use_reflect, rfz, tz)
+
+    is_d = mat == 0
+    is_m = mat == 1
+    is_g = is_glass
+    ok = is_d | is_m | is_g
+
+    atr = jnp.where(is_g, 1.0, alb[..., 0])
+    atg = jnp.where(is_g, 1.0, alb[..., 1])
+    atb = jnp.where(is_g, 1.0, alb[..., 2])
+
+    ox = jnp.where(is_d, ddx, jnp.where(is_m, mdx, gdx))
+    oy = jnp.where(is_d, ddy, jnp.where(is_m, mdy, gdy))
+    oz = jnp.where(is_d, ddz, jnp.where(is_m, mdz, gdz))
+    return ok, (atr, atg, atb), (ox, oy, oz), seed_new
+
+
+def _sky(rdx, rdy, rdz):
+    """Background gradient (ref: hlsl:279-283)."""
+    _, uy, _ = _normalize3(rdx, rdy, rdz)
+    t = 0.5 * (uy + 1.0)
+    return 1.0 - 0.5 * t, 1.0 - 0.3 * t, 1.0  # lerp(white, (.5,.7,1.))
+
+
+def trace(scene: Scene, ro, rd, seed, depth: int, t_min: float):
+    """Iterative bounce loop (ref: sample_color, hlsl:255-287).
+
+    SoA over pixel shape S; returns ((r,g,b), seed).  Dead lanes are masked;
+    the seed only advances on live scattering lanes, matching the
+    reference's early-return semantics where the inout seed stops advancing
+    once a ray terminates.
+    """
+    rox, roy, roz = ro
+    rdx, rdy, rdz = rd
+    shape = rox.shape
+    one = jnp.ones(shape, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+    state = (
+        rox, roy, roz, rdx, rdy, rdz,
+        one, one, one,            # throughput
+        zero, zero, zero,         # result
+        jnp.ones(shape, bool),    # alive
+        seed,
+    )
+
+    def body(st, _):
+        (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb, alive, sd) = st
+        hit_any, t, idx, normal, front = hit_world(
+            scene, (ox, oy, oz), (dx, dy, dz), t_min)
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        ok, (ar, ag, ab), (sx, sy, sz), sd_new = scatter(
+            scene, (dx, dy, dz), (px, py, pz), normal, front, idx, sd)
+
+        scat = alive & hit_any & ok
+        absorbed = alive & hit_any & ~ok
+        missed = alive & ~hit_any
+
+        skr, skg, skb = _sky(dx, dy, dz)
+        rr = jnp.where(missed, cr * skr, rr)
+        rg = jnp.where(missed, cg * skg, rg)
+        rb = jnp.where(missed, cb * skb, rb)
+
+        cr = jnp.where(scat, cr * ar, cr)
+        cg = jnp.where(scat, cg * ag, cg)
+        cb = jnp.where(scat, cb * ab, cb)
+        ox = jnp.where(scat, px, ox)
+        oy = jnp.where(scat, py, oy)
+        oz = jnp.where(scat, pz, oz)
+        dx = jnp.where(scat, sx, dx)
+        dy = jnp.where(scat, sy, dy)
+        dz = jnp.where(scat, sz, dz)
+        sd = jnp.where(scat, sd_new, sd)
+        alive = alive & ~(missed | absorbed)
+        return (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb, alive, sd), None
+
+    state, _ = jax.lax.scan(body, state, None, length=depth)
+    (_, _, _, _, _, _, _, _, _, rr, rg, rb, _, sd) = state
+    # depth exhausted while alive -> black (rr init is already 0)
+    return (rr, rg, rb), sd
+
+
+def render_pixels(scene: Scene, cam: Camera, cfg: RenderConfig, px, py):
+    """Render a flat SoA batch of pixels; returns (r, g, b) arrays.
+
+    px, py: i32 arrays of pixel coordinates (x = column, y = row;
+    row 0 is the BOTTOM of the image, i.e. v = y/(H-1), matching the
+    reference's UAV/texcoord convention — ShaderCompute.hlsl:306-307).
+    """
+    seed = rng.pixel_seed(px.astype(jnp.uint32), py.astype(jnp.uint32))
+    fx = px.astype(jnp.float32)
+    fy = py.astype(jnp.float32)
+    inv_w = jnp.float32(1.0 / (cfg.width - 1))
+    inv_h = jnp.float32(1.0 / (cfg.height - 1))
+    zero = jnp.zeros(seed.shape, jnp.float32)
+
+    def sample(carry, _):
+        acc_r, acc_g, acc_b, sd = carry
+        (j1a, _), sd = rng.hash2(sd)
+        (_, j2b), sd = rng.hash2(sd)
+        u = (fx + j1a * 1.1) * inv_w
+        v = (fy + j2b * 1.1) * inv_h
+        ro, rd, sd = get_ray(cam, u, v, sd)
+        (r, g, b), sd = trace(scene, ro, rd, sd, cfg.depth, cfg.t_min)
+        return (acc_r + r, acc_g + g, acc_b + b, sd), None
+
+    (acc_r, acc_g, acc_b, _), _ = jax.lax.scan(
+        sample, (zero, zero, zero, seed), None, length=cfg.spp)
+    inv_spp = jnp.float32(1.0 / cfg.spp)
+    return _to_gamma(acc_r * inv_spp, cfg.gamma), \
+        _to_gamma(acc_g * inv_spp, cfg.gamma), \
+        _to_gamma(acc_b * inv_spp, cfg.gamma)
+
+
+def _to_gamma(x, gamma):
+    """pow(x, 1/gamma) with a zero-safe gradient (ref toGamma hlsl:99-103)."""
+    safe = jnp.where(x > 0, x, 1.0)
+    return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def render_golden(scene: Scene, cam: Camera, cfg: RenderConfig):
+    """Full-frame golden render -> (H, W, 3) f32 image in [0, 1].
+
+    Chunked over pixels with lax.map to bound the (pixels x spheres)
+    broadcast memory; each chunk is rematerialized (jax.checkpoint) so
+    jax.grad of a loss over the full image stays within memory.
+    """
+    h, w = cfg.height, cfg.width
+    n = h * w
+    chunk = min(cfg.chunk_pixels, n)
+    pad = (-n) % chunk
+    flat = jnp.arange(n + pad, dtype=jnp.int32)
+    px = flat % w
+    py = jnp.minimum(flat // w, h - 1)  # pad pixels render row h-1 harmlessly
+
+    @jax.checkpoint
+    def do_chunk(xy):
+        r, g, b = render_pixels(scene, cam, cfg, xy[0], xy[1])
+        return jnp.stack([r, g, b], axis=-1)
+
+    chunks = jax.lax.map(
+        do_chunk,
+        (px.reshape(-1, chunk), py.reshape(-1, chunk)),
+    )
+    img = chunks.reshape(-1, 3)[:n].reshape(h, w, 3)
+    return img

@@ -1,0 +1,77 @@
+"""Public rendering entry points.
+
+The reference's L2/L3 host layers (CSVersion/DxCSApp.cpp orchestration +
+CSVersion/main.cpp shell) collapse into these functions: build a Scene and a
+Camera, call :func:`render`.  Backends:
+
+- ``"golden"`` — the pure-jnp oracle (raytpu/golden.py), runs anywhere.
+- ``"pallas"`` — fused Pallas TPU megakernel (raytpu/kernels/), the fast path.
+- ``"auto"``   — pallas on TPU, golden elsewhere.
+
+``render_grad`` returns (image, pulled-back gradients) of a scalar loss over
+the image w.r.t. (scene, camera) — the differentiable-rendering surface
+(gradients of pixels w.r.t. sphere centers/radii, albedo/fuzz/IOR, camera
+pose) mandated by BASELINE.json; the reference has no equivalent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from raytpu.camera import Camera
+from raytpu.config import RenderConfig
+from raytpu.scene import Scene
+from raytpu import golden
+
+
+def _backend(name: str) -> str:
+    if name != "auto":
+        return name
+    platform = jax.devices()[0].platform
+    return "pallas" if platform == "tpu" else "golden"
+
+
+def render(scene: Scene, cam: Camera, cfg: RenderConfig,
+           backend: str = "auto") -> jnp.ndarray:
+    """Render -> (H, W, 3) f32 image in [0, 1].
+
+    Row 0 is the bottom scanline (v = 0); use :func:`raytpu.io.save_image`
+    to write a display-oriented file.
+    """
+    backend = _backend(backend)
+    if backend == "golden":
+        return golden.render_golden(scene, cam, cfg)
+    if backend == "pallas":
+        from raytpu.kernels import megakernel
+        return megakernel.render_pallas(scene, cam, cfg)
+    raise ValueError(f"unknown backend: {backend!r}")
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _grad_impl(scene, cam, target, cfg, backend):
+    def loss_fn(scene_, cam_):
+        if backend == "golden":
+            img = golden.render_golden(scene_, cam_, cfg)
+        else:
+            from raytpu.kernels import megakernel
+            img = megakernel.render_pallas(scene_, cam_, cfg)
+        loss = jnp.mean((img - target) ** 2)
+        return loss, img
+
+    # allow_int: Scene.mat_type is i32 (discrete, gradient-free by design)
+    (loss, img), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True, allow_int=True)(scene, cam)
+    return loss, img, grads
+
+
+def render_grad(scene: Scene, cam: Camera, cfg: RenderConfig, target,
+                backend: str = "auto"):
+    """MSE loss against ``target`` + gradients w.r.t. (scene, camera).
+
+    Returns (loss, image, (scene_grads, camera_grads)).
+    """
+    return _grad_impl(scene, cam, jnp.asarray(target, jnp.float32),
+                      cfg, _backend(backend))

@@ -1,0 +1,119 @@
+"""Counter-based RNG — TPU-native redesign of the reference's hash RNG.
+
+The reference threads a *float* seed through every draw, advancing it by
+0.1 twice per draw and hashing the resulting f32 bit patterns
+(ref: CSVersion/ShaderCompute.hlsl:23-66).  That scheme is numerically
+fragile: any IEEE-preserving compiler that folds ``(s+0.1)+0.1 -> s+0.2``
+(XLA's algebraic simplifier does, and fxc is free to) changes the hashed
+bits and thus the entire stream.  Per SURVEY.md §7 we replace the float
+chain with a **counter-based u32 stream**: state advances by the golden
+-ratio Weyl increment and each draw is a murmur3-style integer finalizer of
+the new state.  Integer arithmetic is exact under every backend, so streams
+are bit-identical across eager / jit / Pallas / interpret and across any
+tiling or device-mesh sharding.
+
+What is preserved from the reference, exactly:
+- per-pixel determinism: the initial state is the reference's own
+  ``baseHash`` of the absolute pixel coordinates
+  (ref: ShaderCompute.hlsl:23-28, :295) — no time term (the reference's is
+  commented out, :296);
+- the multiplicative lane derivation (n, n*16807, n*48271) masked to 31
+  bits (ref: hlsl:36-48);
+- the sampling mappings: polar unit-disk (sqrt-radius) and cbrt-radius
+  unit-sphere (ref: hlsl:50-66);
+- the draw *count* per event (one state advance per scatter / jitter
+  component), so ray-death stops the stream exactly as the reference's
+  inout seed does.
+
+Every function takes a u32 state array of any shape and returns
+``(value(s), new_state)``; per-component values are SoA tuples.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_K = jnp.uint32(1103515245)
+_WEYL = jnp.uint32(0x9E3779B9)     # golden-ratio increment
+_M1 = jnp.uint32(0x85EBCA6B)       # murmur3 fmix32 constants
+_M2 = jnp.uint32(0xC2B2AE35)
+_MASK31 = jnp.uint32(0x7FFFFFFF)
+_INV_U32 = jnp.float32(1.0 / 4294967296.0)
+_INV_I31 = jnp.float32(1.0 / 2147483648.0)
+_TWO_PI = jnp.float32(6.28318530718)
+
+
+def base_hash(px, py):
+    """The reference's integer pixel hash (ref: ShaderCompute.hlsl:23-28)."""
+    px = px.astype(jnp.uint32)
+    py = py.astype(jnp.uint32)
+    hx = _K * ((px >> 1) ^ py)
+    hy = _K * ((py >> 1) ^ px)
+    h32 = _K * (hx ^ (hy >> 3))
+    return h32 ^ (h32 >> 16)
+
+
+def fmix32(h):
+    """murmur3 finalizer — full-avalanche 32-bit mix."""
+    h = h.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * _M1
+    h = h ^ (h >> 13)
+    h = h * _M2
+    h = h ^ (h >> 16)
+    return h
+
+
+def pixel_seed(px, py):
+    """Initial u32 stream state for a pixel (ref seed: hlsl:295)."""
+    return base_hash(px, py)
+
+
+def _draw(state):
+    """One state advance: Weyl step + finalize. Returns (u32 draw, state')."""
+    state = state.astype(jnp.uint32) + _WEYL
+    return fmix32(state), state
+
+
+def hash1(state):
+    """Uniform f32 in [0,1); one state advance (ref shape: hlsl:30-34)."""
+    n, state = _draw(state)
+    return n.astype(jnp.float32) * _INV_U32, state
+
+
+def hash2(state):
+    """Two uniform f32 lanes in [0,1); one advance (ref shape: hlsl:36-41)."""
+    n, state = _draw(state)
+    n2 = n * jnp.uint32(48271)
+    a = (n & _MASK31).astype(jnp.float32) * _INV_I31
+    b = (n2 & _MASK31).astype(jnp.float32) * _INV_I31
+    return (a, b), state
+
+
+def hash3(state):
+    """Three uniform f32 lanes in [0,1); one advance (ref shape: hlsl:43-48)."""
+    n, state = _draw(state)
+    n2 = n * jnp.uint32(16807)
+    n3 = n * jnp.uint32(48271)
+    a = (n & _MASK31).astype(jnp.float32) * _INV_I31
+    b = (n2 & _MASK31).astype(jnp.float32) * _INV_I31
+    c = (n3 & _MASK31).astype(jnp.float32) * _INV_I31
+    return (a, b, c), state
+
+
+def random_in_unit_disk(state):
+    """Polar disk sample -> ((x, y), state') (ref: hlsl:50-57)."""
+    (a, b), state = hash2(state)
+    phi = b * _TWO_PI
+    r = jnp.sqrt(a)
+    return (r * jnp.sin(phi), r * jnp.cos(phi)), state
+
+
+def random_in_unit_sphere(state):
+    """Cbrt-radius sphere sample -> ((x, y, z), state') (ref: hlsl:59-66)."""
+    (a, b, c), state = hash3(state)
+    h = a * jnp.float32(2.0) - jnp.float32(1.0)  # cos-latitude in [-1, 1)
+    phi = b * _TWO_PI
+    r = jnp.cbrt(c)
+    s = jnp.sqrt(jnp.maximum(jnp.float32(1.0) - h * h, jnp.float32(0.0)))
+    return (r * s * jnp.sin(phi), r * s * jnp.cos(phi), r * h), state

@@ -1,0 +1,190 @@
+"""Independent scalar numpy transcription of the renderer spec.
+
+This is a deliberately naive, per-pixel, per-scalar implementation written
+directly from the spec (CSVersion/ShaderCompute.hlsl semantics + the
+counter-based u32 RNG redesign documented in raytpu/rng.py) — a SECOND
+implementation sharing no code with raytpu/, used as the cross-check oracle
+for the vectorized golden renderer and the Pallas kernels.  Geometry runs in
+float64 so it also bounds the f32 pipelines' numerical error; the RNG core
+is exact u32 arithmetic and must match bitwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+F = np.float32
+U = np.uint32
+K = U(1103515245)
+
+np.seterr(over="ignore")  # uint32 wraparound is intended
+
+
+def base_hash(px: int, py: int) -> np.uint32:
+    px, py = U(px), U(py)
+    hx = K * ((px >> U(1)) ^ py)
+    hy = K * ((py >> U(1)) ^ px)
+    h32 = K * (hx ^ (hy >> U(3)))
+    return h32 ^ (h32 >> U(16))
+
+
+WEYL = U(0x9E3779B9)
+
+
+def fmix32(h: np.uint32) -> np.uint32:
+    h = U(h)
+    h = U(h ^ (h >> U(16)))
+    h = U(h * U(0x85EBCA6B))
+    h = U(h ^ (h >> U(13)))
+    h = U(h * U(0xC2B2AE35))
+    h = U(h ^ (h >> U(16)))
+    return h
+
+
+def _draw(seed: np.uint32):
+    s = U(U(seed) + WEYL)
+    return fmix32(s), s
+
+
+def hash1(seed):
+    n, seed = _draw(seed)
+    return F(F(n) / F(0xFFFFFFFF)), seed
+
+
+def hash2(seed):
+    n, seed = _draw(seed)
+    n2 = U(n * U(48271))
+    m = U(0x7FFFFFFF)
+    return (F(F(n & m) / F(0x7FFFFFFF)), F(F(n2 & m) / F(0x7FFFFFFF))), seed
+
+
+def hash3(seed):
+    n, seed = _draw(seed)
+    n2 = U(n * U(16807))
+    n3 = U(n * U(48271))
+    m = U(0x7FFFFFFF)
+    return (F(F(n & m) / F(0x7FFFFFFF)),
+            F(F(n2 & m) / F(0x7FFFFFFF)),
+            F(F(n3 & m) / F(0x7FFFFFFF))), seed
+
+
+def random_in_unit_sphere(seed):
+    (a, b, c), seed = hash3(seed)
+    hx = a * 2.0 - 1.0
+    phi = b * 6.28318530718
+    r = c ** (1.0 / 3.0)
+    s = np.sqrt(max(1.0 - hx * hx, 0.0))
+    return np.array([r * s * np.sin(phi), r * s * np.cos(phi), r * hx],
+                    np.float64), seed
+
+
+def random_in_unit_disk(seed):
+    (a, b), seed = hash2(seed)
+    phi = b * 6.28318530718
+    r = np.sqrt(a)
+    return np.array([r * np.sin(phi), r * np.cos(phi)], np.float64), seed
+
+
+def hit_world(spheres, ro, rd, t_min, t_max):
+    """Sequential closest-hit loop (ref: hlsl:188-205).
+
+    spheres: list of (center(3,), radius). Returns (hit, t, idx) with the
+    reference's literal shrinking-t_max semantics.
+    """
+    hit, closest, best = False, t_max, -1
+    for i, (c, r) in enumerate(spheres):
+        oc = ro - c
+        a = rd @ rd
+        half_b = oc @ rd
+        cc = oc @ oc - r * r
+        d = half_b * half_b - a * cc
+        if d < 0:
+            continue
+        sq = np.sqrt(d)
+        root = (-half_b - sq) / a
+        if root < t_min or closest < root:
+            root = (-half_b + sq) / a
+            if root < t_min or closest < root:
+                continue
+        hit, closest, best = True, root, i
+    return hit, closest, best
+
+
+def render_pixel(scene, cam, px, py, width, height, spp, depth):
+    """Render one pixel with float64 geometry / f32 RNG (ref: CSMain).
+
+    scene: dict(center (N,3), radius (N,), mat_type (N,), albedo (N,3),
+    mat_param (N,)); cam: dict(origin, horizontal, vertical, lower_left,
+    u, v, lens_radius) as float arrays.
+    """
+    spheres = [(np.asarray(scene["center"][i], np.float64),
+                float(scene["radius"][i]))
+               for i in range(len(scene["radius"]))]
+    seed = base_hash(px, py)
+    acc = np.zeros(3)
+    for _ in range(spp):
+        (j1a, _), seed = hash2(seed)
+        (_, j2b), seed = hash2(seed)
+        u = (px + j1a * 1.1) / (width - 1)
+        v = (py + j2b * 1.1) / (height - 1)
+        ro = np.asarray(cam["origin"], np.float64).copy()
+        if cam.get("lens_radius", 0.0) > 0:
+            (dx, dy), seed = random_in_unit_disk(seed)
+            rd_off = (cam["lens_radius"] * dx * np.asarray(cam["u"])
+                      + cam["lens_radius"] * dy * np.asarray(cam["v"]))
+            ro = ro + rd_off
+        rd = (np.asarray(cam["lower_left"], np.float64)
+              + u * np.asarray(cam["horizontal"], np.float64)
+              + v * np.asarray(cam["vertical"], np.float64) - ro)
+        col, seed = _sample_color(scene, spheres, ro, rd, seed, depth)
+        acc += col
+    acc /= spp
+    return np.clip(acc, 0, None) ** (1.0 / 2.2)
+
+
+def _sample_color(scene, spheres, ro, rd, seed, depth):
+    col = np.ones(3)
+    for _ in range(depth):
+        hit, t, idx = hit_world(spheres, ro, rd, 1e-3, np.inf)
+        if not hit:
+            ud = rd / np.linalg.norm(rd)
+            tt = 0.5 * (ud[1] + 1.0)
+            sky = (1 - tt) * np.ones(3) + tt * np.array([0.5, 0.7, 1.0])
+            return col * sky, seed
+        p = ro + t * rd
+        c, r = spheres[idx]
+        n = (p - c) / r
+        front = rd @ n < 0
+        if not front:
+            n = -n
+        mat = int(scene["mat_type"][idx])
+        if mat == 0:
+            s, seed = random_in_unit_sphere(seed)
+            d = n + s
+            d = d / np.linalg.norm(d)
+            col = col * np.asarray(scene["albedo"][idx])
+        elif mat == 1:
+            s, seed = random_in_unit_sphere(seed)
+            refl = rd - 2 * (rd @ n) * n
+            d = refl + scene["mat_param"][idx] * s
+            d = d / np.linalg.norm(d)
+            col = col * np.asarray(scene["albedo"][idx])
+        elif mat == 2:
+            ior = float(scene["mat_param"][idx])
+            ratio = (1.0 / ior) if front else ior
+            ud = rd / np.linalg.norm(rd)
+            cosine = min(-ud @ n, 1.0)
+            sine = np.sqrt(max(1.0 - cosine * cosine, 0.0))
+            h1, seed = hash1(seed)
+            r0 = ((1 - ratio) / (1 + ratio)) ** 2
+            refl_p = r0 + (1 - r0) * (1 - cosine) ** 5
+            if ratio * sine > 1.0 or refl_p > h1:
+                d = ud - 2 * (ud @ n) * n
+            else:
+                perp = ratio * (ud + cosine * n)
+                par = -np.sqrt(abs(1.0 - perp @ perp)) * n
+                d = perp + par
+        else:
+            return np.zeros(3), seed
+        ro, rd = p, d
+    return np.zeros(3), seed
