@@ -208,14 +208,15 @@ def trace(scene: Scene, ro, rd, seed, depth: int, t_min: float):
     """
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
-    shape = rox.shape
-    one = jnp.ones(shape, jnp.float32)
-    zero = jnp.zeros(shape, jnp.float32)
+    # carries derived from inputs (not fresh constants) so their device
+    # -varying axes match under shard_map's varying-axis tracking
+    zero = rox * 0.0
+    one = zero + 1.0
     state = (
         rox, roy, roz, rdx, rdy, rdz,
         one, one, one,            # throughput
         zero, zero, zero,         # result
-        jnp.ones(shape, bool),    # alive
+        zero < 1.0,               # alive (all True)
         seed,
     )
 
@@ -269,7 +270,7 @@ def render_pixels(scene: Scene, cam: Camera, cfg: RenderConfig, px, py):
     fy = py.astype(jnp.float32)
     inv_w = jnp.float32(1.0 / (cfg.width - 1))
     inv_h = jnp.float32(1.0 / (cfg.height - 1))
-    zero = jnp.zeros(seed.shape, jnp.float32)
+    zero = fx * 0.0  # input-derived: see trace() varying-axis note
 
     def sample(carry, _):
         acc_r, acc_g, acc_b, sd = carry
@@ -295,21 +296,18 @@ def _to_gamma(x, gamma):
     return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def render_golden(scene: Scene, cam: Camera, cfg: RenderConfig):
-    """Full-frame golden render -> (H, W, 3) f32 image in [0, 1].
+def render_flat(scene: Scene, cam: Camera, cfg: RenderConfig, px, py):
+    """Render a flat pixel-id batch, chunked -> (n, 3) f32 colors.
 
     Chunked over pixels with lax.map to bound the (pixels x spheres)
     broadcast memory; each chunk is rematerialized (jax.checkpoint) so
-    jax.grad of a loss over the full image stays within memory.
+    jax.grad of a loss over the full image stays within memory.  The batch
+    length must be a multiple of min(cfg.chunk_pixels, len) — callers pad
+    (RNG seeds depend only on absolute pixel coords, so duplicated pad
+    pixels render identically and are sliced away harmlessly).
     """
-    h, w = cfg.height, cfg.width
-    n = h * w
+    n = px.shape[0]
     chunk = min(cfg.chunk_pixels, n)
-    pad = (-n) % chunk
-    flat = jnp.arange(n + pad, dtype=jnp.int32)
-    px = flat % w
-    py = jnp.minimum(flat // w, h - 1)  # pad pixels render row h-1 harmlessly
 
     @jax.checkpoint
     def do_chunk(xy):
@@ -320,5 +318,17 @@ def render_golden(scene: Scene, cam: Camera, cfg: RenderConfig):
         do_chunk,
         (px.reshape(-1, chunk), py.reshape(-1, chunk)),
     )
-    img = chunks.reshape(-1, 3)[:n].reshape(h, w, 3)
-    return img
+    return chunks.reshape(-1, 3)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def render_golden(scene: Scene, cam: Camera, cfg: RenderConfig):
+    """Full-frame golden render -> (H, W, 3) f32 image in [0, 1]."""
+    h, w = cfg.height, cfg.width
+    n = h * w
+    chunk = min(cfg.chunk_pixels, n)
+    pad = (-n) % chunk
+    flat = jnp.arange(n + pad, dtype=jnp.int32)
+    px = flat % w
+    py = jnp.minimum(flat // w, h - 1)  # pad pixels render row h-1 harmlessly
+    return render_flat(scene, cam, cfg, px, py)[:n].reshape(h, w, 3)

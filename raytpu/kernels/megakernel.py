@@ -1,0 +1,391 @@
+"""Fused Pallas path-tracing megakernel.
+
+The whole of the reference's compute-shader kernel
+(ref: CSVersion/ShaderCompute.hlsl:289-315 CSMain driver, :255-287 bounce
+loop, :155-205 intersection, :207-252 materials) as ONE Mosaic-compiled TPU
+kernel over (8, 128) pixel tiles:
+
+- one grid step = one (8 sublane x 128 lane) tile of pixels — the TPU
+  analogue of the reference's 32x32 thread group (hlsl:291);
+- all ray state lives in registers/VMEM for the full spp x depth loop: zero
+  HBM traffic between bounces (the XLA fallback round-trips ray state
+  through HBM on every scan step);
+- the bounce loop is a ``lax.while_loop`` that exits as soon as EVERY ray
+  in the tile is dead — sky/absorbed regions stop paying for residual
+  bounces (the reference and the golden path always run all ``depth``
+  iterations);
+- the scene is broadcast to SMEM (the cbuffer analogue, hlsl:12-19) and the
+  closest-hit loop tracks the winning sphere's attributes directly via
+  predicated updates, so there is no gather;
+- RNG is the same counter-based stream as the golden renderer
+  (raytpu/rng.py) over u32 tiles, so images agree with golden to f32
+  rounding (op-for-op the math matches golden.py exactly).
+
+Differentiation: ``render_pallas`` carries a ``jax.custom_vjp`` whose
+backward pass re-traces through the golden renderer (identical function,
+so the cotangents are exact for it); a hand-derived backward kernel can
+replace it without touching callers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu import rng, golden
+from raytpu.camera import Camera
+from raytpu.config import RenderConfig
+from raytpu.scene import Scene
+
+_TILE_H = 8
+_TILE_W = 128
+_INF = np.float32(3.0e38)
+_SAFE_EPS = np.float32(1e-20)
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(_dot3(x, y, z, x, y, z), _SAFE_EPS))
+    return x * inv, y * inv, z * inv
+
+
+def _reflect(vx, vy, vz, nx, ny, nz):
+    d = _dot3(vx, vy, vz, nx, ny, nz)
+    return vx - 2 * d * nx, vy - 2 * d * ny, vz - 2 * d * nz
+
+
+def _refract(ux, uy, uz, nx, ny, nz, ratio):
+    cos_theta = jnp.minimum(_dot3(-ux, -uy, -uz, nx, ny, nz), 1.0)
+    px = ratio * (ux + cos_theta * nx)
+    py = ratio * (uy + cos_theta * ny)
+    pz = ratio * (uz + cos_theta * nz)
+    par = -jnp.sqrt(jnp.maximum(
+        jnp.abs(1.0 - _dot3(px, py, pz, px, py, pz)), _SAFE_EPS))
+    return px + par * nx, py + par * ny, pz + par * nz
+
+
+def _schlick(cosine, ref_idx):
+    r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+    r0 = r0 * r0
+    m = 1.0 - cosine
+    return r0 + (1.0 - r0) * (m * m * m * m * m)
+
+
+def _sky(rdx, rdy, rdz):
+    _, uy, _ = _normalize3(rdx, rdy, rdz)
+    t = 0.5 * (uy + 1.0)
+    return 1.0 - 0.5 * t, 1.0 - 0.3 * t, jnp.ones_like(t)
+
+
+def _to_gamma(x, gamma):
+    safe = jnp.where(x > 0, x, 1.0)
+    return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
+
+
+def _make_kernel(cfg: RenderConfig, n_spheres: int):
+    depth = cfg.depth
+    spp = cfg.spp
+    t_min = np.float32(cfg.t_min)
+    inv_w = np.float32(1.0 / (cfg.width - 1))
+    inv_h = np.float32(1.0 / (cfg.height - 1))
+    inv_spp = np.float32(1.0 / spp)
+    gamma = cfg.gamma
+
+    def kernel(cam_ref, sc_ref, r_ref, g_ref, b_ref):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        shape = (_TILE_H, _TILE_W)
+        py = (ti * _TILE_H
+              + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+        px = (tj * _TILE_W
+              + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        seed = rng.pixel_seed(px.astype(jnp.uint32), py.astype(jnp.uint32))
+        fx = px.astype(jnp.float32)
+        fy = py.astype(jnp.float32)
+
+        # camera scalars (packed by render_pallas)
+        def cam3(i):
+            return cam_ref[i], cam_ref[i + 1], cam_ref[i + 2]
+
+        c_ox, c_oy, c_oz = cam3(0)        # origin
+        c_hx, c_hy, c_hz = cam3(3)        # horizontal
+        c_vx, c_vy, c_vz = cam3(6)        # vertical
+        c_lx, c_ly, c_lz = cam3(9)        # lower_left
+        c_ux, c_uy, c_uz = cam3(12)       # u basis
+        c_wx, c_wy, c_wz = cam3(15)       # v basis
+        lens_r = cam_ref[18]
+        defocus = lens_r > 0
+
+        def trace_one(ox, oy, oz, dx, dy, dz, sd):
+            """Bounce loop with whole-tile early exit (golden.trace)."""
+            zero = jnp.zeros(shape, jnp.float32)
+            one = zero + 1.0
+
+            def cond(st):
+                d = st[0]
+                alive = st[13]
+                return (d < depth) & jnp.any(alive)
+
+            def body(st):
+                (d, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+                 alive, sd) = st
+
+                # -- closest hit over all spheres (hlsl:188-205), tracking
+                # the winner's attributes via predicated updates
+                a = _dot3(dx, dy, dz, dx, dy, dz)
+
+                def sphere_body(j, hs):
+                    (tb, h_cx, h_cy, h_cz, h_rad,
+                     h_mt, h_ar, h_ag, h_ab, h_mp) = hs
+                    s_cx = sc_ref[0, j]
+                    s_cy = sc_ref[1, j]
+                    s_cz = sc_ref[2, j]
+                    s_rad = sc_ref[3, j]
+                    s_mt = sc_ref[4, j]
+                    s_ar = sc_ref[5, j]
+                    s_ag = sc_ref[6, j]
+                    s_ab = sc_ref[7, j]
+                    s_mp = sc_ref[8, j]
+
+                    ocx = ox - s_cx
+                    ocy = oy - s_cy
+                    ocz = oz - s_cz
+                    half_b = ocx * dx + ocy * dy + ocz * dz
+                    c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                         - s_rad * s_rad)
+                    disc = half_b * half_b - a * c
+                    has_root = disc >= 0
+                    sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+                    root1 = (-half_b - sqrtd) / a
+                    root2 = (-half_b + sqrtd) / a
+                    near_ok = root1 >= t_min
+                    root = jnp.where(near_ok, root1, root2)
+                    ok = has_root & (root >= t_min)
+                    t_j = jnp.where(ok, root, _INF)
+
+                    win = t_j < tb
+                    tb = jnp.where(win, t_j, tb)
+                    h_cx = jnp.where(win, s_cx, h_cx)
+                    h_cy = jnp.where(win, s_cy, h_cy)
+                    h_cz = jnp.where(win, s_cz, h_cz)
+                    h_rad = jnp.where(win, s_rad, h_rad)
+                    h_mt = jnp.where(win, s_mt, h_mt)
+                    h_ar = jnp.where(win, s_ar, h_ar)
+                    h_ag = jnp.where(win, s_ag, h_ag)
+                    h_ab = jnp.where(win, s_ab, h_ab)
+                    h_mp = jnp.where(win, s_mp, h_mp)
+                    return (tb, h_cx, h_cy, h_cz, h_rad,
+                            h_mt, h_ar, h_ag, h_ab, h_mp)
+
+                hs0 = (zero + _INF, zero, zero, zero, one,
+                       zero, zero, zero, zero, zero)
+                (tb, h_cx, h_cy, h_cz, h_rad,
+                 h_mt, h_ar, h_ag, h_ab, h_mp) = jax.lax.fori_loop(
+                    0, n_spheres, sphere_body, hs0)
+
+                hit_any = tb < _INF
+                t = jnp.where(hit_any, tb, 1.0)
+
+                # hit point + outward normal (hlsl:180-183, golden.hit_world)
+                hpx = ox + t * dx
+                hpy = oy + t * dy
+                hpz = oz + t * dz
+                inv_r = 1.0 / jnp.where(h_rad == 0, 1.0, h_rad)
+                nx = (hpx - h_cx) * inv_r
+                ny = (hpy - h_cy) * inv_r
+                nz = (hpz - h_cz) * inv_r
+                front = _dot3(dx, dy, dz, nx, ny, nz) < 0
+                sgn = jnp.where(front, 1.0, -1.0)
+                nx = nx * sgn
+                ny = ny * sgn
+                nz = nz * sgn
+
+                # -- scatter (hlsl:207-252, golden.scatter)
+                (sx, sy, sz), sd_new = rng.random_in_unit_sphere(sd)
+                h1, _ = rng.hash1(sd)
+
+                ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+
+                rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
+                mdx, mdy, mdz = _normalize3(
+                    rx + h_mp * sx, ry + h_mp * sy, rz + h_mp * sz)
+
+                is_glass = h_mt == 2.0
+                ior = jnp.where(is_glass, jnp.maximum(h_mp, 1e-3), 1.5)
+                ux, uy, uz = _normalize3(dx, dy, dz)
+                ratio = jnp.where(front, 1.0 / ior, ior)
+                cosine = jnp.minimum(_dot3(-ux, -uy, -uz, nx, ny, nz), 1.0)
+                sine = jnp.sqrt(jnp.maximum(1.0 - cosine * cosine, 0.0))
+                cannot = ratio * sine > 1.0
+                use_reflect = cannot | (_schlick(cosine, ratio) > h1)
+                rfx, rfy, rfz = _reflect(ux, uy, uz, nx, ny, nz)
+                tx, ty, tz = _refract(ux, uy, uz, nx, ny, nz, ratio)
+                gdx = jnp.where(use_reflect, rfx, tx)
+                gdy = jnp.where(use_reflect, rfy, ty)
+                gdz = jnp.where(use_reflect, rfz, tz)
+
+                is_d = h_mt == 0.0
+                is_m = h_mt == 1.0
+                ok = is_d | is_m | is_glass
+
+                atr = jnp.where(is_glass, 1.0, h_ar)
+                atg = jnp.where(is_glass, 1.0, h_ag)
+                atb = jnp.where(is_glass, 1.0, h_ab)
+
+                odx = jnp.where(is_d, ddx, jnp.where(is_m, mdx, gdx))
+                ody = jnp.where(is_d, ddy, jnp.where(is_m, mdy, gdy))
+                odz = jnp.where(is_d, ddz, jnp.where(is_m, mdz, gdz))
+
+                scat = alive & hit_any & ok
+                absorbed = alive & hit_any & ~ok
+                missed = alive & ~hit_any
+
+                skr, skg, skb = _sky(dx, dy, dz)
+                rr = jnp.where(missed, cr * skr, rr)
+                rg = jnp.where(missed, cg * skg, rg)
+                rb = jnp.where(missed, cb * skb, rb)
+
+                cr = jnp.where(scat, cr * atr, cr)
+                cg = jnp.where(scat, cg * atg, cg)
+                cb = jnp.where(scat, cb * atb, cb)
+                ox = jnp.where(scat, hpx, ox)
+                oy = jnp.where(scat, hpy, oy)
+                oz = jnp.where(scat, hpz, oz)
+                dx = jnp.where(scat, odx, dx)
+                dy = jnp.where(scat, ody, dy)
+                dz = jnp.where(scat, odz, dz)
+                sd = jnp.where(scat, sd_new, sd)
+                alive = alive & ~(missed | absorbed)
+                return (d + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                        rr, rg, rb, alive, sd)
+
+            st = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                  one, one, one, zero, zero, zero, zero < 1.0, sd)
+            st = jax.lax.while_loop(cond, body, st)
+            return st[10], st[11], st[12], st[14]
+
+        def sample_body(s, carry):
+            acc_r, acc_g, acc_b, sd = carry
+            (j1a, _), sd = rng.hash2(sd)
+            (_, j2b), sd = rng.hash2(sd)
+            u = (fx + j1a * 1.1) * inv_w
+            v = (fy + j2b * 1.1) * inv_h
+
+            # get_ray (golden: camera.get_ray; v1 defocus Shader_RT.fx:288)
+            (ldx, ldy), sd_lens = rng.random_in_unit_disk(sd)
+            sd = jnp.where(defocus, sd_lens, sd)
+            rdx_l = lens_r * ldx
+            rdy_l = lens_r * ldy
+            offx = jnp.where(defocus, c_ux * rdx_l + c_wx * rdy_l, 0.0)
+            offy = jnp.where(defocus, c_uy * rdx_l + c_wy * rdy_l, 0.0)
+            offz = jnp.where(defocus, c_uz * rdx_l + c_wz * rdy_l, 0.0)
+            ox = c_ox + offx
+            oy = c_oy + offy
+            oz = c_oz + offz
+            dx = c_lx + u * c_hx + v * c_vx - ox
+            dy = c_ly + u * c_hy + v * c_vy - oy
+            dz = c_lz + u * c_hz + v * c_vz - oz
+
+            r, g, b, sd = trace_one(ox, oy, oz, dx, dy, dz, sd)
+            return acc_r + r, acc_g + g, acc_b + b, sd
+
+        zero = jnp.zeros(shape, jnp.float32)
+        acc_r, acc_g, acc_b, _ = jax.lax.fori_loop(
+            0, spp, sample_body, (zero, zero, zero, seed))
+
+        r_ref[:, :] = _to_gamma(acc_r * inv_spp, gamma)
+        g_ref[:, :] = _to_gamma(acc_g * inv_spp, gamma)
+        b_ref[:, :] = _to_gamma(acc_b * inv_spp, gamma)
+
+    return kernel
+
+
+def _pack_camera(cam: Camera) -> jnp.ndarray:
+    return jnp.concatenate([
+        cam.origin, cam.horizontal, cam.vertical, cam.lower_left,
+        cam.u, cam.v, cam.lens_radius[None],
+        jnp.zeros((5,), jnp.float32),
+    ]).astype(jnp.float32)
+
+
+def _pack_scene(scene: Scene) -> jnp.ndarray:
+    """(9, N) f32: rows cx, cy, cz, rad, mat_type, ar, ag, ab, mat_param."""
+    return jnp.stack([
+        scene.center[:, 0], scene.center[:, 1], scene.center[:, 2],
+        scene.radius, scene.mat_type.astype(jnp.float32),
+        scene.albedo[:, 0], scene.albedo[:, 1], scene.albedo[:, 2],
+        scene.mat_param,
+    ]).astype(jnp.float32)
+
+
+def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
+                            interpret: bool):
+    h, w = cfg.height, cfg.width
+    hp = -(-h // _TILE_H) * _TILE_H
+    wp = -(-w // _TILE_W) * _TILE_W
+    grid = (hp // _TILE_H, wp // _TILE_W)
+    n = scene.count
+
+    kernel = _make_kernel(cfg, n)
+    out = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(out, out, out),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera (24,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scene (9, N)
+        ],
+        out_specs=(plane, plane, plane),
+        interpret=interpret,
+    )(_pack_camera(cam), _pack_scene(scene))
+    img = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
+    return img
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
+                   interpret: bool):
+    return _render_pallas_fwd_impl(scene, cam, cfg, interpret)
+
+
+def _fwd(scene, cam, cfg, interpret):
+    return _render_pallas_fwd_impl(scene, cam, cfg, interpret), (scene, cam)
+
+
+def _bwd(cfg, interpret, res, ct):
+    # Backward re-traces through the golden renderer: the two forwards
+    # compute the same function (tests assert allclose), so golden's VJP is
+    # the correct cotangent pull-back.  Recompute-not-store: no residual
+    # tensors beyond the inputs (SURVEY.md §7 adjoint strategy, rev 1).
+    scene, cam = res
+    _, vjp = jax.vjp(
+        lambda s, c: golden.render_golden(s, c, cfg), scene, cam)
+    ds, dc = vjp(ct)
+    ds = ds._replace(mat_type=None)  # discrete leaf: no cotangent
+    return ds, dc
+
+
+_render_pallas.defvjp(_fwd, _bwd)
+
+
+def render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
+                  interpret: bool | None = None) -> jnp.ndarray:
+    """Full-frame Pallas render -> (H, W, 3) f32 image in [0, 1].
+
+    ``interpret=None`` auto-selects interpreter mode off-TPU so the same
+    kernel logic is testable on the CPU mesh (SURVEY.md §4).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    return _render_pallas(scene, cam, cfg, bool(interpret))

@@ -31,7 +31,13 @@ def _backend(name: str) -> str:
     if name != "auto":
         return name
     platform = jax.devices()[0].platform
-    return "pallas" if platform == "tpu" else "golden"
+    if platform == "tpu":
+        try:
+            from raytpu.kernels import megakernel  # noqa: F401
+            return "pallas"
+        except ImportError:
+            return "golden"
+    return "golden"
 
 
 def render(scene: Scene, cam: Camera, cfg: RenderConfig,

@@ -31,16 +31,26 @@ Every function takes a u32 state array of any shape and returns
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-_K = jnp.uint32(1103515245)
-_WEYL = jnp.uint32(0x9E3779B9)     # golden-ratio increment
-_M1 = jnp.uint32(0x85EBCA6B)       # murmur3 fmix32 constants
-_M2 = jnp.uint32(0xC2B2AE35)
-_MASK31 = jnp.uint32(0x7FFFFFFF)
-_INV_U32 = jnp.float32(1.0 / 4294967296.0)
-_INV_I31 = jnp.float32(1.0 / 2147483648.0)
-_TWO_PI = jnp.float32(6.28318530718)
+# numpy scalars (not jnp arrays) so these inline as immediates inside
+# Pallas kernels instead of becoming captured constants
+_K = np.uint32(1103515245)
+_WEYL = np.uint32(0x9E3779B9)     # golden-ratio increment
+_M1 = np.uint32(0x85EBCA6B)       # murmur3 fmix32 constants
+_M2 = np.uint32(0xC2B2AE35)
+_MASK31 = np.uint32(0x7FFFFFFF)
+_INV_U24 = np.float32(1.0 / 16777216.0)
+_INV_I31 = np.float32(1.0 / 2147483648.0)
+_TWO_PI = np.float32(6.28318530718)
+
+
+def _u31_to_f32(n):
+    """[0,1) from the low 31 bits.  The u32 value is masked to 31 bits and
+    routed through i32 (Mosaic has no u32->f32 cast; the i32 hop is value
+    -identical for non-negative inputs)."""
+    return (n & _MASK31).astype(jnp.int32).astype(jnp.float32) * _INV_I31
 
 
 def base_hash(px, py):
@@ -76,29 +86,28 @@ def _draw(state):
 
 
 def hash1(state):
-    """Uniform f32 in [0,1); one state advance (ref shape: hlsl:30-34)."""
+    """Uniform f32 in [0,1); one state advance (ref shape: hlsl:30-34).
+
+    Uses the top 24 bits so the i32->f32 conversion is mantissa-exact
+    (and Mosaic-lowerable; u32->f32 is not)."""
     n, state = _draw(state)
-    return n.astype(jnp.float32) * _INV_U32, state
+    v = (n >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32) * _INV_U24
+    return v, state
 
 
 def hash2(state):
     """Two uniform f32 lanes in [0,1); one advance (ref shape: hlsl:36-41)."""
     n, state = _draw(state)
-    n2 = n * jnp.uint32(48271)
-    a = (n & _MASK31).astype(jnp.float32) * _INV_I31
-    b = (n2 & _MASK31).astype(jnp.float32) * _INV_I31
-    return (a, b), state
+    n2 = n * np.uint32(48271)
+    return (_u31_to_f32(n), _u31_to_f32(n2)), state
 
 
 def hash3(state):
     """Three uniform f32 lanes in [0,1); one advance (ref shape: hlsl:43-48)."""
     n, state = _draw(state)
-    n2 = n * jnp.uint32(16807)
-    n3 = n * jnp.uint32(48271)
-    a = (n & _MASK31).astype(jnp.float32) * _INV_I31
-    b = (n2 & _MASK31).astype(jnp.float32) * _INV_I31
-    c = (n3 & _MASK31).astype(jnp.float32) * _INV_I31
-    return (a, b, c), state
+    n2 = n * np.uint32(16807)
+    n3 = n * np.uint32(48271)
+    return (_u31_to_f32(n), _u31_to_f32(n2), _u31_to_f32(n3)), state
 
 
 def random_in_unit_disk(state):
@@ -112,8 +121,8 @@ def random_in_unit_disk(state):
 def random_in_unit_sphere(state):
     """Cbrt-radius sphere sample -> ((x, y, z), state') (ref: hlsl:59-66)."""
     (a, b, c), state = hash3(state)
-    h = a * jnp.float32(2.0) - jnp.float32(1.0)  # cos-latitude in [-1, 1)
+    h = a * np.float32(2.0) - np.float32(1.0)  # cos-latitude in [-1, 1)
     phi = b * _TWO_PI
     r = jnp.cbrt(c)
-    s = jnp.sqrt(jnp.maximum(jnp.float32(1.0) - h * h, jnp.float32(0.0)))
+    s = jnp.sqrt(jnp.maximum(np.float32(1.0) - h * h, np.float32(0.0)))
     return (r * s * jnp.sin(phi), r * s * jnp.cos(phi), r * h), state

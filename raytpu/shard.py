@@ -1,0 +1,143 @@
+"""Multi-chip / multi-host sharding — pixel tiles over a device mesh.
+
+The reference's only parallelism is the GPU thread grid (one thread per
+pixel, ref: CSVersion/DxCSApp.cpp:524 Dispatch x ShaderCompute.hlsl:291
+numthreads).  The TPU-native scaling story (SURVEY.md §2.5) is:
+
+- **pixel axis sharded** over a 1-D ``jax.sharding.Mesh`` ('px'): each chip
+  renders a contiguous slab of the flattened pixel array via
+  ``jax.shard_map``.  RNG seeds derive from *absolute* pixel coordinates
+  (raytpu/rng.py), so the image is bit-identical for every mesh size —
+  1-chip and N-host renders match exactly (SURVEY.md §7 hard-part 3).
+- **scene + camera replicated** on every chip (the analogue of the
+  reference's cbuffer broadcast, ref: DxCSApp.cpp:393-413).
+- **gradients psum'd** over the mesh: each chip back-propagates its own
+  pixels' loss into replicated scene/camera params, then one
+  ``jax.lax.psum`` rides ICI (intra-slice) / DCN (multi-host).  XLA
+  overlaps the reduction with the tail of the backward sweep.
+
+Multi-host entry: call ``jax.distributed.initialize()`` before
+``make_mesh()``; the mesh spans all processes' devices and shard_map does
+the rest — no per-host logic needed here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from raytpu.camera import Camera
+from raytpu.config import RenderConfig
+from raytpu.scene import Scene
+from raytpu import golden
+
+AXIS = "px"
+
+
+def make_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """1-D mesh over all (or the given) devices; axis name 'px'."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _flat_pixel_ids(cfg: RenderConfig, n_shards: int):
+    """Flattened pixel coords padded so each shard gets equal, chunk-aligned
+    work. Pad pixels re-render pixel (0, h-1) and are sliced off."""
+    h, w = cfg.height, cfg.width
+    n = h * w
+    chunk = min(cfg.chunk_pixels, max(1, n // n_shards))
+    per = -(-n // n_shards)
+    per = -(-per // chunk) * chunk
+    total = per * n_shards
+    flat = jnp.arange(total, dtype=jnp.int32)
+    px = jnp.where(flat < n, flat % w, 0)
+    py = jnp.where(flat < n, flat // w, h - 1)
+    return px, py, n
+
+
+@functools.partial(jax.jit, static_argnums=(2,), static_argnames=("mesh",))
+def render_sharded(scene: Scene, cam: Camera, cfg: RenderConfig, *,
+                   mesh: Mesh) -> jnp.ndarray:
+    """Full-frame render with pixels sharded over ``mesh`` -> (H, W, 3).
+
+    Bit-identical to :func:`raytpu.golden.render_golden` for any mesh size.
+    """
+    n_shards = mesh.devices.size
+    px, py, n = _flat_pixel_ids(cfg, n_shards)
+
+    def shard_fn(scene, cam, px, py):
+        return golden.render_flat(scene, cam, cfg, px, py)
+
+    colors = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS),
+    )(scene, cam, px, py)
+    return colors[:n].reshape(cfg.height, cfg.width, 3)
+
+
+def make_train_step(cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2):
+    """Build a jitted inverse-rendering train step over ``mesh``.
+
+    step(scene, cam, target_image) -> (scene', cam', loss): renders the
+    scene with pixels sharded over the mesh, computes MSE against the
+    (replicated) target, back-propagates per-shard, psums scene+camera
+    gradients over ICI/DCN, and applies one SGD step to the continuous
+    leaves.  This is the framework's "training step" — the differentiable
+    -rendering optimization loop of BASELINE config 3 at pod scale.
+    """
+    n_shards = mesh.devices.size
+    px, py, n = _flat_pixel_ids(cfg, n_shards)
+    inv_n = 1.0 / (n * 3)
+
+    def shard_fn(scene, cam, target, px, py):
+        # differentiate w.r.t. the continuous leaves only (mat_type is
+        # discrete: its float0 cotangent cannot ride a psum)
+        def local_loss(params, cam):
+            scene_ = scene._replace(**params)
+            colors = golden.render_flat(scene_, cam, cfg, px, py)
+            tgt = target.reshape(-1, 3)[py * cfg.width + px]
+            keep = (jax.lax.axis_index(AXIS) * px.shape[0]
+                    + jnp.arange(px.shape[0])) < n
+            d2 = jnp.sum((colors - tgt) ** 2, axis=-1)
+            return jnp.sum(jnp.where(keep, d2, 0.0)) * inv_n
+
+        params = dict(center=scene.center, radius=scene.radius,
+                      albedo=scene.albedo, mat_param=scene.mat_param)
+        loss, grads = jax.value_and_grad(
+            local_loss, argnums=(0, 1))(params, cam)
+        # loss is a varying per-shard partial -> explicit psum.  grads are
+        # NOT psum'd here: under shard_map's varying-axis tracking the
+        # transpose of "consume a replicated input" already inserts the
+        # cross-shard psum (this is the ICI/DCN gradient all-reduce, and
+        # XLA overlaps it with the backward sweep).
+        loss = jax.lax.psum(loss, AXIS)
+        return loss, grads
+
+    @jax.jit
+    def step(scene: Scene, cam: Camera, target):
+        loss, (gp, gc) = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(AXIS), P(AXIS)),
+            out_specs=(P(), (P(), P())),
+        )(scene, cam, target, px, py)
+
+        scene = scene._replace(
+            **{k: getattr(scene, k) - lr * gp[k] for k in gp})
+        cam = cam._replace(
+            origin=cam.origin - lr * gc.origin,
+            horizontal=cam.horizontal - lr * gc.horizontal,
+            vertical=cam.vertical - lr * gc.vertical,
+            lower_left=cam.lower_left - lr * gc.lower_left,
+        )
+        return scene, cam, loss
+
+    return step

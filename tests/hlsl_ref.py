@@ -47,8 +47,9 @@ def _draw(seed: np.uint32):
 
 
 def hash1(seed):
+    # top 24 bits: mantissa-exact in f32 (see raytpu/rng.py hash1)
     n, seed = _draw(seed)
-    return F(F(n) / F(0xFFFFFFFF)), seed
+    return F(F(n >> U(8)) / F(16777216.0)), seed
 
 
 def hash2(seed):
