@@ -1,0 +1,142 @@
+"""Bounding-volume hierarchy — NEW capability (SURVEY.md §2 #10: the
+reference has no acceleration structure; its hit_world is a brute-force
+loop over all spheres, CSVersion/ShaderCompute.hlsl:188-205).
+
+Design, TPU-first (SURVEY.md §7 hard-part 4):
+
+- **Host-side median-split build** over sphere centroids (numpy; a native
+  C++ builder can swap in behind the same layout for very large scenes).
+- **Flattened preorder + skip pointers** ("threaded" BVH): one array of
+  nodes in DFS preorder; a hit on an interior node falls through to
+  ``node + 1``; a miss jumps to ``skip``.  Traversal is a single while
+  loop with NO stack and NO per-lane pointer chasing.
+- **Tile-coherent traversal** in the Pallas kernel: all (8, 128) rays of a
+  tile walk the tree together; a node is entered if ANY live ray in the
+  tile intersects its bbox (a lane-reduce), and leaf spheres are then
+  tested by every lane.  This trades per-ray work for zero gathers —
+  the right trade on a VPU with no vectorized gather.  Primary-ray tiles
+  are coherent so subtree culling is effective; worst-case (fully
+  incoherent tiles) degrades gracefully toward brute force plus cheap
+  bbox tests.
+
+Layout: ``nodes`` is (M, 9) f32 — rows
+``[min_x, min_y, min_z, max_x, max_y, max_z, start, count, skip]``;
+``count == 0`` marks an interior node; ``start/count`` index the PERMUTED
+sphere order (``perm``); integers are stored as f32 (exact below 2^24) so
+the whole structure is a float PyTree and rides ``jax.custom_vjp`` with
+zero cotangents.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytpu.scene import Scene
+
+
+class BVH(NamedTuple):
+    nodes: jnp.ndarray  # (M, 9) f32: bbox lo(3) hi(3), start, count, skip
+    perm: jnp.ndarray   # (N,) f32: permuted-order -> original sphere index
+
+    @property
+    def n_nodes(self) -> int:
+        return self.nodes.shape[0]
+
+
+def build_bvh(scene: Scene, leaf_size: int = 8, pad: float = 1e-4) -> BVH:
+    """Median-split BVH over the scene's spheres (host-side, numpy).
+
+    ``pad`` slightly enlarges every box so slab tests with rays lying
+    exactly on a face (NaN from 0 * inf) can only produce false *hits*,
+    never false misses — traversal stays conservative.
+    """
+    center = np.asarray(scene.center, np.float64)
+    radius = np.abs(np.asarray(scene.radius, np.float64))
+    lo = center - radius[:, None]
+    hi = center + radius[:, None]
+
+    nodes: list[list[float]] = []
+    order: list[int] = []
+
+    def rec(idx: np.ndarray) -> None:
+        my = len(nodes)
+        nodes.append([0.0] * 9)
+        b_lo = lo[idx].min(axis=0) - pad
+        b_hi = hi[idx].max(axis=0) + pad
+        if len(idx) <= leaf_size:
+            start = len(order)
+            order.extend(int(i) for i in idx)
+            nodes[my][:8] = [*b_lo, *b_hi, float(start), float(len(idx))]
+        else:
+            cent = center[idx]
+            axis = int(np.argmax(cent.max(axis=0) - cent.min(axis=0)))
+            sub = np.argsort(cent[:, axis], kind="stable")
+            half = len(idx) // 2
+            nodes[my][:8] = [*b_lo, *b_hi, 0.0, 0.0]
+            rec(idx[sub[:half]])
+            rec(idx[sub[half:]])
+        nodes[my][8] = float(len(nodes))  # skip = index after subtree
+
+    rec(np.arange(scene.count))
+    nodes_arr = np.asarray(nodes, np.float32)
+    assert len(order) == scene.count
+    return BVH(nodes=jnp.asarray(nodes_arr),
+               perm=jnp.asarray(np.asarray(order, np.float32)))
+
+
+def permute_scene(scene: Scene, perm) -> Scene:
+    """Reorder scene arrays into BVH leaf order (leaves are contiguous)."""
+    p = jnp.asarray(perm).astype(jnp.int32)
+    return Scene(
+        center=scene.center[p],
+        radius=scene.radius[p],
+        mat_type=scene.mat_type[p],
+        albedo=scene.albedo[p],
+        mat_param=scene.mat_param[p],
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy reference traversal (unit-test oracle for the flattened layout)
+
+def closest_hit_numpy(bvh_nodes: np.ndarray, centers: np.ndarray,
+                      radii: np.ndarray, ro: np.ndarray, rd: np.ndarray,
+                      t_min: float = 1e-3):
+    """Scalar skip-pointer traversal -> (t, permuted_index) or (inf, -1).
+
+    centers/radii are in PERMUTED order; mirrors the kernel's walk exactly
+    (same node order, same slab + quadratic math) in float64.
+    """
+    nodes = np.asarray(bvh_nodes, np.float64)
+    m = len(nodes)
+    inv = np.where(rd != 0, 1.0 / np.where(rd == 0, 1.0, rd), np.inf)
+    best_t, best_i = np.inf, -1
+    node = 0
+    while node < m:
+        b = nodes[node]
+        t1 = (b[0:3] - ro) * inv
+        t2 = (b[3:6] - ro) * inv
+        tnear = max(np.minimum(t1, t2).max(), t_min)
+        tfar = min(np.maximum(t1, t2).min(), best_t)
+        hit_box = tnear <= tfar
+        start, count, skip = int(b[6]), int(b[7]), int(b[8])
+        if hit_box and count > 0:
+            for i in range(start, start + count):
+                oc = ro - centers[i]
+                a = rd @ rd
+                half_b = oc @ rd
+                c = oc @ oc - radii[i] * radii[i]
+                disc = half_b * half_b - a * c
+                if disc < 0:
+                    continue
+                sq = np.sqrt(disc)
+                root = (-half_b - sq) / a
+                if root < t_min:
+                    root = (-half_b + sq) / a
+                if root >= t_min and root < best_t:
+                    best_t, best_i = root, i
+        node = node + 1 if (hit_box and count == 0) else skip
+    return best_t, best_i

@@ -90,7 +90,7 @@ def _to_gamma(x, gamma):
     return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
 
 
-def _make_kernel(cfg: RenderConfig, n_spheres: int):
+def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
     depth = cfg.depth
     spp = cfg.spp
     t_min = np.float32(cfg.t_min)
@@ -99,7 +99,11 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int):
     inv_spp = np.float32(1.0 / spp)
     gamma = cfg.gamma
 
-    def kernel(cam_ref, sc_ref, r_ref, g_ref, b_ref):
+    def kernel(cam_ref, sc_ref, *rest):
+        if n_nodes:
+            nd_ref, r_ref, g_ref, b_ref = rest
+        else:
+            r_ref, g_ref, b_ref = rest
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         shape = (_TILE_H, _TILE_W)
@@ -131,12 +135,15 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int):
 
             def cond(st):
                 d = st[0]
-                alive = st[13]
-                return (d < depth) & jnp.any(alive)
+                alive_f = st[13]
+                # alive mask carried as f32 (Mosaic cannot carry i1
+                # vectors through scf.while); > 0 means alive
+                return (d < depth) & (jnp.max(alive_f) > 0)
 
             def body(st):
                 (d, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
-                 alive, sd) = st
+                 alive_f, sd) = st
+                alive = alive_f > 0
 
                 # -- closest hit over all spheres (hlsl:188-205), tracking
                 # the winner's attributes via predicated updates
@@ -187,9 +194,56 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int):
 
                 hs0 = (zero + _INF, zero, zero, zero, one,
                        zero, zero, zero, zero, zero)
+                if not n_nodes:
+                    hs = jax.lax.fori_loop(0, n_spheres, sphere_body, hs0)
+                else:
+                    # tile-coherent skip-pointer traversal (raytpu/bvh.py):
+                    # the whole tile walks the preorder node list; a node's
+                    # subtree is entered iff ANY live lane hits its bbox.
+                    inv_dx = 1.0 / dx
+                    inv_dy = 1.0 / dy
+                    inv_dz = 1.0 / dz
+
+                    def t_cond(ts):
+                        return ts[0] < n_nodes
+
+                    def t_body(ts):
+                        node = ts[0]
+                        hs = ts[1:]
+                        tb = hs[0]
+                        t1 = (nd_ref[0, node] - ox) * inv_dx
+                        t2 = (nd_ref[3, node] - ox) * inv_dx
+                        t3 = (nd_ref[1, node] - oy) * inv_dy
+                        t4 = (nd_ref[4, node] - oy) * inv_dy
+                        t5 = (nd_ref[2, node] - oz) * inv_dz
+                        t6 = (nd_ref[5, node] - oz) * inv_dz
+                        tnear = jnp.maximum(
+                            jnp.maximum(jnp.minimum(t1, t2),
+                                        jnp.minimum(t3, t4)),
+                            jnp.maximum(jnp.minimum(t5, t6), t_min))
+                        tfar = jnp.minimum(
+                            jnp.minimum(jnp.maximum(t1, t2),
+                                        jnp.maximum(t3, t4)),
+                            jnp.minimum(jnp.maximum(t5, t6), tb))
+                        # NaN (origin on a padded face) -> treated as hit:
+                        # conservative, never misses true intersections
+                        boxhit = ~(tnear > tfar) & alive
+                        anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
+                        start = nd_ref[6, node].astype(jnp.int32)
+                        count = nd_ref[7, node].astype(jnp.int32)
+                        skip = nd_ref[8, node].astype(jnp.int32)
+                        count_eff = jnp.where(anyhit, count, 0)
+                        hs = jax.lax.fori_loop(
+                            start, start + count_eff, sphere_body, hs)
+                        node_next = jnp.where(anyhit & (count == 0),
+                                              node + 1, skip)
+                        return (node_next, *hs)
+
+                    out = jax.lax.while_loop(
+                        t_cond, t_body, (jnp.int32(0), *hs0))
+                    hs = out[1:]
                 (tb, h_cx, h_cy, h_cz, h_rad,
-                 h_mt, h_ar, h_ag, h_ab, h_mp) = jax.lax.fori_loop(
-                    0, n_spheres, sphere_body, hs0)
+                 h_mt, h_ar, h_ag, h_ab, h_mp) = hs
 
                 hit_any = tb < _INF
                 t = jnp.where(hit_any, tb, 1.0)
@@ -264,11 +318,12 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int):
                 dz = jnp.where(scat, odz, dz)
                 sd = jnp.where(scat, sd_new, sd)
                 alive = alive & ~(missed | absorbed)
+                alive_f = jnp.where(alive, 1.0, 0.0)
                 return (d + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                        rr, rg, rb, alive, sd)
+                        rr, rg, rb, alive_f, sd)
 
             st = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
-                  one, one, one, zero, zero, zero, zero < 1.0, sd)
+                  one, one, one, zero, zero, zero, one, sd)
             st = jax.lax.while_loop(cond, body, st)
             return st[10], st[11], st[12], st[14]
 
@@ -327,30 +382,53 @@ def _pack_scene(scene: Scene) -> jnp.ndarray:
 
 
 def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
-                            interpret: bool):
+                            interpret: bool, nodes=None, perm=None):
     h, w = cfg.height, cfg.width
     hp = -(-h // _TILE_H) * _TILE_H
     wp = -(-w // _TILE_W) * _TILE_W
     grid = (hp // _TILE_H, wp // _TILE_W)
     n = scene.count
 
-    kernel = _make_kernel(cfg, n)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
+    if nodes is None:
+        kernel = _make_kernel(cfg, n)
+        operands = (_pack_camera(cam), _pack_scene(scene))
+        in_specs = [smem, smem]
+    else:
+        # spheres reordered into BVH leaf order; nodes transposed for
+        # scalar row reads
+        from raytpu.bvh import permute_scene
+        kernel = _make_kernel(cfg, n, n_nodes=nodes.shape[0])
+        operands = (_pack_camera(cam),
+                    _pack_scene(permute_scene(scene, perm)),
+                    nodes.T.astype(jnp.float32))
+        in_specs = [smem, smem, smem]
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(out, out, out),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # camera (24,)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # scene (9, N)
-        ],
+        in_specs=in_specs,
         out_specs=(plane, plane, plane),
         interpret=interpret,
-    )(_pack_camera(cam), _pack_scene(scene))
+    )(*operands)
     img = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
     return img
+
+
+def _golden_bwd(cfg, res, ct):
+    # Backward re-traces through the golden renderer: the two forwards
+    # compute the same function (tests assert allclose), so golden's VJP is
+    # the correct cotangent pull-back.  Recompute-not-store: no residual
+    # tensors beyond the inputs (SURVEY.md §7 adjoint strategy, rev 1).
+    scene, cam = res
+    _, vjp = jax.vjp(
+        lambda s, c: golden.render_golden(s, c, cfg), scene, cam)
+    ds, dc = vjp(ct)
+    ds = ds._replace(mat_type=None)  # discrete leaf: no cotangent
+    return ds, dc
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -364,28 +442,45 @@ def _fwd(scene, cam, cfg, interpret):
 
 
 def _bwd(cfg, interpret, res, ct):
-    # Backward re-traces through the golden renderer: the two forwards
-    # compute the same function (tests assert allclose), so golden's VJP is
-    # the correct cotangent pull-back.  Recompute-not-store: no residual
-    # tensors beyond the inputs (SURVEY.md §7 adjoint strategy, rev 1).
-    scene, cam = res
-    _, vjp = jax.vjp(
-        lambda s, c: golden.render_golden(s, c, cfg), scene, cam)
-    ds, dc = vjp(ct)
-    ds = ds._replace(mat_type=None)  # discrete leaf: no cotangent
-    return ds, dc
+    return _golden_bwd(cfg, res, ct)
 
 
 _render_pallas.defvjp(_fwd, _bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _render_pallas_bvh(scene: Scene, cam: Camera, nodes, perm,
+                       cfg: RenderConfig, interpret: bool):
+    return _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm)
+
+
+def _fwd_bvh(scene, cam, nodes, perm, cfg, interpret):
+    img = _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm)
+    return img, (scene, cam, nodes, perm)
+
+
+def _bwd_bvh(cfg, interpret, res, ct):
+    scene, cam, nodes, perm = res
+    ds, dc = _golden_bwd(cfg, (scene, cam), ct)
+    # BVH geometry is derived data: no cotangent (all-f32 by design)
+    return ds, dc, jnp.zeros_like(nodes), jnp.zeros_like(perm)
+
+
+_render_pallas_bvh.defvjp(_fwd_bvh, _bwd_bvh)
+
+
 def render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
-                  interpret: bool | None = None) -> jnp.ndarray:
+                  interpret: bool | None = None, bvh=None) -> jnp.ndarray:
     """Full-frame Pallas render -> (H, W, 3) f32 image in [0, 1].
 
     ``interpret=None`` auto-selects interpreter mode off-TPU so the same
-    kernel logic is testable on the CPU mesh (SURVEY.md §4).
+    kernel logic is testable on the CPU mesh (SURVEY.md §4).  Pass a
+    :class:`raytpu.bvh.BVH` to accelerate large scenes via tile-coherent
+    traversal (build with ``raytpu.bvh.build_bvh(scene)``).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    return _render_pallas(scene, cam, cfg, bool(interpret))
+    if bvh is None:
+        return _render_pallas(scene, cam, cfg, bool(interpret))
+    return _render_pallas_bvh(scene, cam, bvh.nodes, bvh.perm,
+                              cfg, bool(interpret))

@@ -41,18 +41,20 @@ def _backend(name: str) -> str:
 
 
 def render(scene: Scene, cam: Camera, cfg: RenderConfig,
-           backend: str = "auto") -> jnp.ndarray:
+           backend: str = "auto", bvh=None) -> jnp.ndarray:
     """Render -> (H, W, 3) f32 image in [0, 1].
 
     Row 0 is the bottom scanline (v = 0); use :func:`raytpu.io.save_image`
-    to write a display-oriented file.
+    to write a display-oriented file.  ``bvh`` (see
+    :func:`raytpu.bvh.build_bvh`) accelerates large scenes on the pallas
+    backend; the golden backend ignores it (it is the brute-force oracle).
     """
     backend = _backend(backend)
     if backend == "golden":
         return golden.render_golden(scene, cam, cfg)
     if backend == "pallas":
         from raytpu.kernels import megakernel
-        return megakernel.render_pallas(scene, cam, cfg)
+        return megakernel.render_pallas(scene, cam, cfg, bvh=bvh)
     raise ValueError(f"unknown backend: {backend!r}")
 
 

@@ -123,6 +123,11 @@ def random_in_unit_sphere(state):
     (a, b, c), state = hash3(state)
     h = a * np.float32(2.0) - np.float32(1.0)  # cos-latitude in [-1, 1)
     phi = b * _TWO_PI
-    r = jnp.cbrt(c)
+    # cbrt via exp(log/3) (Mosaic has no cbrt primitive); c >= 0 by
+    # construction, guard the c == 0 lane
+    r = jnp.where(c > 0,
+                  jnp.exp(jnp.log(jnp.maximum(c, np.float32(1e-30)))
+                          / np.float32(3.0)),
+                  np.float32(0.0))
     s = jnp.sqrt(jnp.maximum(np.float32(1.0) - h * h, np.float32(0.0)))
     return (r * s * jnp.sin(phi), r * s * jnp.cos(phi), r * h), state

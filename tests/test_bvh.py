@@ -1,0 +1,149 @@
+"""BVH build invariants + traversal vs brute force (numpy oracle level)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import raytpu
+from raytpu import bvh as bvh_mod
+
+
+def _brute(centers, radii, ro, rd, t_min=1e-3):
+    best_t, best_i = np.inf, -1
+    for i in range(len(radii)):
+        oc = ro - centers[i]
+        a = rd @ rd
+        half_b = oc @ rd
+        c = oc @ oc - radii[i] * radii[i]
+        disc = half_b * half_b - a * c
+        if disc < 0:
+            continue
+        sq = np.sqrt(disc)
+        root = (-half_b - sq) / a
+        if root < t_min:
+            root = (-half_b + sq) / a
+        if root >= t_min and root < best_t:
+            best_t, best_i = root, i
+    return best_t, best_i
+
+
+def test_build_invariants():
+    scene = raytpu.random_world(seed=1, half_extent=5)
+    b = bvh_mod.build_bvh(scene, leaf_size=4)
+    nodes = np.asarray(b.nodes)
+    perm = np.asarray(b.perm).astype(int)
+    n, m = scene.count, len(nodes)
+
+    # perm is a permutation
+    assert sorted(perm.tolist()) == list(range(n))
+    # every sphere appears in exactly one leaf; leaves tile [0, n)
+    leaves = nodes[nodes[:, 7] > 0]
+    spans = sorted((int(r[6]), int(r[7])) for r in leaves)
+    cursor = 0
+    for start, count in spans:
+        assert start == cursor
+        cursor += count
+    assert cursor == n
+    # skip pointers are strictly forward and land in [node+1, m]
+    for i, r in enumerate(nodes):
+        assert i + 1 <= int(r[8]) <= m
+    # children boxes nested in parents (preorder: child = i+1 for interior)
+    centers = np.asarray(scene.center)[perm]
+    radii = np.asarray(scene.radius)[perm]
+    for i, r in enumerate(nodes):
+        if r[7] > 0:
+            for j in range(int(r[6]), int(r[6]) + int(r[7])):
+                assert (centers[j] - radii[j] >= r[0:3] - 1e-3).all()
+                assert (centers[j] + radii[j] <= r[3:6] + 1e-3).all()
+
+
+def test_traversal_matches_brute_force():
+    scene = raytpu.random_world(seed=2, half_extent=6)
+    b = bvh_mod.build_bvh(scene, leaf_size=4)
+    perm = np.asarray(b.perm).astype(int)
+    centers = np.asarray(scene.center, np.float64)[perm]
+    radii = np.asarray(scene.radius, np.float64)[perm]
+
+    rs = np.random.default_rng(0)
+    origins = rs.uniform(-15, 15, (64, 3))
+    origins[:, 1] = rs.uniform(0.1, 8, 64)
+    dirs = rs.normal(size=(64, 3))
+
+    for ro, rd in zip(origins, dirs):
+        t_b, i_b = bvh_mod.closest_hit_numpy(b.nodes, centers, radii, ro, rd)
+        t_r, i_r = _brute(centers, radii, ro, rd)
+        if np.isinf(t_r):
+            assert np.isinf(t_b)
+        else:
+            np.testing.assert_allclose(t_b, t_r, rtol=1e-12)
+            assert i_b == i_r
+
+
+def test_single_sphere_and_leaf_sizes():
+    scene = raytpu.config1_world()
+    for leaf in (1, 2, 8):
+        b = bvh_mod.build_bvh(scene, leaf_size=leaf)
+        perm = np.asarray(b.perm).astype(int)
+        centers = np.asarray(scene.center, np.float64)[perm]
+        radii = np.asarray(scene.radius, np.float64)[perm]
+        t, i = bvh_mod.closest_hit_numpy(
+            b.nodes, centers, radii,
+            np.array([0.0, 0.2, 1.0]), np.array([0.0, -0.05, -1.0]))
+        assert np.isfinite(t)
+
+
+def test_permute_scene_roundtrip():
+    scene = raytpu.random_world(seed=4, half_extent=3)
+    b = bvh_mod.build_bvh(scene)
+    ps = bvh_mod.permute_scene(scene, b.perm)
+    perm = np.asarray(b.perm).astype(int)
+    np.testing.assert_array_equal(
+        np.asarray(ps.center), np.asarray(scene.center)[perm])
+    np.testing.assert_array_equal(
+        np.asarray(ps.mat_type), np.asarray(scene.mat_type)[perm])
+
+
+def test_pallas_bvh_matches_golden():
+    """Interpret-mode megakernel with BVH == brute-force golden, bitwise."""
+    from raytpu import golden
+    from raytpu.kernels import megakernel
+    from raytpu.config import RenderConfig
+
+    cfg = RenderConfig(width=64, height=32, spp=1, depth=3)
+    scene = raytpu.random_world(seed=3, half_extent=4)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect)
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    for leaf in (2, 8):
+        b = bvh_mod.build_bvh(scene, leaf_size=leaf)
+        got = np.asarray(megakernel.render_pallas(scene, cam, cfg, bvh=b))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_bvh_grads_match_golden():
+    """custom_vjp on the BVH path still pulls back exact golden grads."""
+    import jax
+    from raytpu import golden
+    from raytpu.kernels import megakernel
+    from raytpu.config import RenderConfig
+
+    cfg = RenderConfig(width=32, height=16, spp=1, depth=2)
+    scene = raytpu.random_world(seed=5, half_extent=2)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect)
+    b = bvh_mod.build_bvh(scene, leaf_size=4)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    def loss_p(s):
+        img = megakernel.render_pallas(s, cam, cfg, bvh=b)
+        return jnp.mean((img - target) ** 2)
+
+    def loss_g(s):
+        img = golden.render_golden(s, cam, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    gp = jax.grad(loss_p, allow_int=True)(scene)
+    gg = jax.grad(loss_g, allow_int=True)(scene)
+    for k in ("center", "radius", "albedo", "mat_param"):
+        np.testing.assert_allclose(np.asarray(getattr(gp, k)),
+                                   np.asarray(getattr(gg, k)),
+                                   rtol=1e-5, atol=1e-8)
