@@ -1,0 +1,185 @@
+"""Command-line interface — the framework's L3 shell.
+
+Replaces the reference's Win32 entry points (CSVersion/main.cpp:16-139,
+main.cpp:18-133: create a window, render once, pump messages) with a
+headless CLI:
+
+    python -m raytpu.cli render --scene random --width 1024 --height 576 \
+        --spp 60 --depth 50 --out frame.png
+    python -m raytpu.cli render --scene final --bvh --progressive 16 \
+        --checkpoint ckpt.npz --resume --out final.png
+    python -m raytpu.cli gradcheck
+    python -m raytpu.cli info
+
+Every knob the reference hardcodes (SURVEY.md §5 config table) is a flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+SCENES = ("config1", "test", "random", "final")
+
+
+def _build_scene(name: str, seed: int):
+    import raytpu
+    if name == "config1":
+        return raytpu.config1_world()
+    if name == "test":
+        return raytpu.test_world()
+    if name == "random":
+        return raytpu.random_world(seed=seed)
+    if name == "final":
+        return raytpu.final_world(seed=seed)
+    raise SystemExit(f"unknown scene {name!r} (choose from {SCENES})")
+
+
+def _build_camera(args, aspect):
+    import raytpu
+    return raytpu.make_camera(
+        tuple(args.look_from), tuple(args.look_at), vfov=args.vfov,
+        aspect=aspect, aperture=args.aperture,
+        focus_dist=args.focus_dist)
+
+
+def cmd_render(args) -> int:
+    import raytpu
+    from raytpu import io, profiling
+    from raytpu.config import RenderConfig
+
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       depth=args.depth)
+    scene = _build_scene(args.scene, args.seed)
+    cam = _build_camera(args, cfg.aspect)
+
+    bvh = None
+    if args.bvh:
+        from raytpu.bvh import build_bvh
+        bvh = build_bvh(scene)
+
+    if args.progressive:
+        from raytpu import progressive
+        last = None
+        for state, img in progressive.render_progressive(
+                scene, cam, cfg, batch=args.progressive,
+                checkpoint_path=args.checkpoint, resume=args.resume):
+            print(f"samples {int(state.samples)}/{cfg.spp}",
+                  file=sys.stderr)
+            last = img
+        if last is None:  # resumed fully-complete checkpoint
+            from raytpu.progressive import load_checkpoint, image
+            state, _ = load_checkpoint(args.checkpoint)
+            last = image(state, cfg)
+        img = last
+        io.save_image(args.out, img)
+        print(f"wrote {args.out}")
+        return 0
+
+    img, stats = profiling.timed(
+        lambda: raytpu.render(scene, cam, cfg, backend=args.backend,
+                              bvh=bvh),
+        cfg, label="render")
+    io.save_image(args.out, img)
+    print(f"wrote {args.out}  "
+          f"({stats.rays_per_sec / 1e6:.2f} Mrays/s, "
+          f"{stats.wall_s * 1e3:.1f} ms)")
+    if args.log:
+        profiling.log_run(args.log, stats, scene=args.scene,
+                          backend=args.backend)
+    return 0
+
+
+def cmd_gradcheck(args) -> int:
+    """Quick analytic-vs-finite-difference gradient self-check."""
+    import jax
+    import jax.numpy as jnp
+    import raytpu
+    from raytpu import golden
+    from raytpu.config import RenderConfig
+
+    cfg = RenderConfig(width=48, height=24, spp=2, depth=4)
+    scene = raytpu.make_scene([
+        ((0.0, -100.5, -1.0), 100.0, 0, (0.5, 0.5, 0.5), 0.0),
+        ((0.0, 0.0, -1.0), 0.5, 0, (0.7, 0.3, 0.3), 0.0),
+    ])
+    cam = raytpu.make_camera((0.0, 0.3, 1.5), (0.0, 0.0, -1.0), vfov=45.0,
+                             aspect=cfg.aspect)
+    px = jnp.array([22, 24, 26, 23], jnp.int32)
+    py = jnp.array([12, 12, 13, 11], jnp.int32)
+
+    @jax.jit
+    def pix(s):
+        r, g, b = golden.render_pixels(s, cam, cfg, px, py)
+        return r + g + b
+
+    def apply(v):
+        return pix(scene._replace(albedo=scene.albedo.at[1, 0].set(v)))
+
+    a0 = jnp.float32(0.7)
+    analytic = jax.jvp(apply, (a0,), (jnp.float32(1.0),))[1]
+    eps = 1e-2
+    fd = (apply(a0 + eps) - apply(a0 - eps)) / (2 * eps)
+    err = float(jnp.max(jnp.abs(analytic - fd)))
+    print(json.dumps({"grad_max_err_vs_fd": err, "pass": err < 1e-3}))
+    return 0 if err < 1e-3 else 1
+
+
+def cmd_info(args) -> int:
+    import jax
+    import raytpu
+    print(json.dumps({
+        "version": raytpu.__version__,
+        "platform": jax.devices()[0].platform,
+        "devices": len(jax.devices()),
+        "device_kind": jax.devices()[0].device_kind,
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raytpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a scene to an image file")
+    r.add_argument("--scene", choices=SCENES, default="test")
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--width", type=int, default=400)
+    r.add_argument("--height", type=int, default=200)
+    r.add_argument("--spp", type=int, default=20)
+    r.add_argument("--depth", type=int, default=12)
+    r.add_argument("--look-from", type=float, nargs=3,
+                   default=[13.0, 2.0, 3.0])
+    r.add_argument("--look-at", type=float, nargs=3,
+                   default=[0.0, 0.0, 0.0])
+    r.add_argument("--vfov", type=float, default=20.0)
+    r.add_argument("--aperture", type=float, default=0.0)
+    r.add_argument("--focus-dist", type=float, default=None)
+    r.add_argument("--backend", choices=("auto", "golden", "pallas"),
+                   default="auto")
+    r.add_argument("--bvh", action="store_true",
+                   help="build + use a BVH (pallas backend)")
+    r.add_argument("--progressive", type=int, default=0, metavar="BATCH",
+                   help="render progressively in BATCH-sample steps")
+    r.add_argument("--checkpoint", default=None,
+                   help="progressive checkpoint path (.npz)")
+    r.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint")
+    r.add_argument("--log", default=None, help="append run stats JSONL")
+    r.add_argument("--out", default="out.png")
+    r.set_defaults(fn=cmd_render)
+
+    g = sub.add_parser("gradcheck", help="gradient vs finite-diff check")
+    g.set_defaults(fn=cmd_gradcheck)
+
+    i = sub.add_parser("info", help="platform info")
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -258,19 +258,25 @@ def trace(scene: Scene, ro, rd, seed, depth: int, t_min: float):
     return (rr, rg, rb), sd
 
 
-def render_pixels(scene: Scene, cam: Camera, cfg: RenderConfig, px, py):
-    """Render a flat SoA batch of pixels; returns (r, g, b) arrays.
+def accumulate_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
+                      px, py, seed, spp: int, init=None):
+    """Add ``spp`` LINEAR samples per pixel starting from carried RNG state.
 
-    px, py: i32 arrays of pixel coordinates (x = column, y = row;
-    row 0 is the BOTTOM of the image, i.e. v = y/(H-1), matching the
-    reference's UAV/texcoord convention — ShaderCompute.hlsl:306-307).
+    Returns ((sum_r, sum_g, sum_b), seed').  This is the real carried
+    -state version of the reference's dead progressive-accumulation
+    scaffolding (currSamples uploaded but never read —
+    CSVersion/DxCSApp.cpp:186,491-492, ShaderCompute.hlsl:7): rendering
+    K batches of spp/K samples, threading ``seed`` AND the running sums
+    (``init``), is bit-identical to one spp-sample render — the f32
+    addition chain is sample-by-sample in both cases.
     """
-    seed = rng.pixel_seed(px.astype(jnp.uint32), py.astype(jnp.uint32))
     fx = px.astype(jnp.float32)
     fy = py.astype(jnp.float32)
     inv_w = jnp.float32(1.0 / (cfg.width - 1))
     inv_h = jnp.float32(1.0 / (cfg.height - 1))
     zero = fx * 0.0  # input-derived: see trace() varying-axis note
+    if init is None:
+        init = (zero, zero, zero)
 
     def sample(carry, _):
         acc_r, acc_g, acc_b, sd = carry
@@ -282,8 +288,21 @@ def render_pixels(scene: Scene, cam: Camera, cfg: RenderConfig, px, py):
         (r, g, b), sd = trace(scene, ro, rd, sd, cfg.depth, cfg.t_min)
         return (acc_r + r, acc_g + g, acc_b + b, sd), None
 
-    (acc_r, acc_g, acc_b, _), _ = jax.lax.scan(
-        sample, (zero, zero, zero, seed), None, length=cfg.spp)
+    (acc_r, acc_g, acc_b, seed), _ = jax.lax.scan(
+        sample, (*init, seed), None, length=spp)
+    return (acc_r, acc_g, acc_b), seed
+
+
+def render_pixels(scene: Scene, cam: Camera, cfg: RenderConfig, px, py):
+    """Render a flat SoA batch of pixels; returns (r, g, b) arrays.
+
+    px, py: i32 arrays of pixel coordinates (x = column, y = row;
+    row 0 is the BOTTOM of the image, i.e. v = y/(H-1), matching the
+    reference's UAV/texcoord convention — ShaderCompute.hlsl:306-307).
+    """
+    seed = rng.pixel_seed(px.astype(jnp.uint32), py.astype(jnp.uint32))
+    (acc_r, acc_g, acc_b), _ = accumulate_pixels(
+        scene, cam, cfg, px, py, seed, cfg.spp)
     inv_spp = jnp.float32(1.0 / cfg.spp)
     return _to_gamma(acc_r * inv_spp, cfg.gamma), \
         _to_gamma(acc_g * inv_spp, cfg.gamma), \

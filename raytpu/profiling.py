@@ -1,0 +1,75 @@
+"""Observability: render stats, structured run logs, profiler hooks.
+
+The reference's only instrumentation is a chrono frame timer whose consumer
+is commented out, and a debug.log ofstream that is opened and never written
+(CSVersion/DxCSApp.cpp:460-471,415,455; SURVEY.md §5).  Here:
+
+- :class:`RenderStats` — wall-time + rays/sec accounting around any render
+  call (``block_until_ready`` walls so device async doesn't lie);
+- :func:`log_run` — append one JSON line per run to a structured run log;
+- :func:`trace` — context manager around ``jax.profiler`` emitting a
+  TensorBoard-loadable trace directory for kernel-level inspection.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import json
+import time
+
+import jax
+
+from raytpu.config import RenderConfig
+
+
+@dataclasses.dataclass
+class RenderStats:
+    """Throughput accounting for one render (or train) invocation."""
+
+    wall_s: float
+    primary_rays: int
+    rays_per_sec: float
+    config: str
+    label: str = "fwd"
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def timed(fn, cfg: RenderConfig, label: str = "fwd",
+          iters: int = 1) -> tuple[object, RenderStats]:
+    """Run ``fn()`` ``iters`` times (after one warmup) and wall it.
+
+    Returns (last_result, stats).  ``primary_rays`` counts
+    width*height*spp per invocation — the BASELINE.json workload unit.
+    """
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    wall = (time.perf_counter() - t0) / iters
+    rays = cfg.width * cfg.height * cfg.spp
+    return out, RenderStats(
+        wall_s=wall, primary_rays=rays, rays_per_sec=rays / wall,
+        config=f"{cfg.width}x{cfg.height} spp{cfg.spp} d{cfg.depth}",
+        label=label)
+
+
+def log_run(path: str, stats: RenderStats, **extra) -> None:
+    """Append one structured JSON line to the run log."""
+    rec = {"ts": time.time(), **stats.as_dict(), **extra}
+    with open(path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace around a block (view in TensorBoard/XProf)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,145 @@
+"""Progressive rendering with checkpoint / resume.
+
+The reference uploads a ``currSamples`` counter every frame that its shader
+never reads, and renders exactly once (CSVersion/DxCSApp.cpp:186,491-492;
+ShaderCompute.hlsl:7; CSVersion/main.cpp:38-39,51-52) — progressive
+accumulation is dead scaffolding there.  Here it is real carried state
+(SURVEY.md §5 checkpoint/resume plan): a linear accumulation buffer plus
+the per-pixel RNG stream state, so
+
+- rendering in K sample-batches is **bit-identical** to one big render;
+- a render can be checkpointed to disk mid-flight and resumed — on the
+  same host or a different one — with zero repeated work;
+- the display image can be inspected at any intermediate sample count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from raytpu import rng, golden
+from raytpu.camera import Camera
+from raytpu.config import RenderConfig
+from raytpu.scene import Scene
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProgressiveState:
+    """Carried render state: linear color sums + per-pixel RNG stream."""
+
+    acc: jnp.ndarray        # (H, W, 3) f32 linear (pre-gamma) sample sums
+    seed: jnp.ndarray       # (H, W) u32 per-pixel RNG stream state
+    samples: jnp.ndarray    # () i32 samples accumulated so far
+
+
+def init_state(cfg: RenderConfig) -> ProgressiveState:
+    h, w = cfg.height, cfg.width
+    py, px = jnp.mgrid[0:h, 0:w]
+    return ProgressiveState(
+        acc=jnp.zeros((h, w, 3), jnp.float32),
+        seed=rng.pixel_seed(px.astype(jnp.uint32), py.astype(jnp.uint32)),
+        samples=jnp.int32(0),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 4))
+def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
+               state: ProgressiveState, spp: int) -> ProgressiveState:
+    """Add ``spp`` samples per pixel to the carried state."""
+    h, w = cfg.height, cfg.width
+    n = h * w
+    chunk = min(cfg.chunk_pixels, n)
+    pad = (-n) % chunk
+    flat = jnp.arange(n + pad, dtype=jnp.int32)
+    px = flat % w
+    py = jnp.minimum(flat // w, h - 1)
+    def _pad(x, fill):
+        return (jnp.concatenate([x.reshape(-1), jnp.full((pad,), fill,
+                                                         x.dtype)])
+                if pad else x.reshape(-1))
+
+    seed_flat = _pad(state.seed, 0)
+    acc_flat = state.acc.reshape(-1, 3)
+    accs = tuple(_pad(acc_flat[:, i], 0.0) for i in range(3))
+
+    @jax.checkpoint
+    def do_chunk(args):
+        cpx, cpy, csd, ar, ag, ab = args
+        # previous sums seed the scan carry: the f32 addition chain is
+        # identical to a single big render (bit-exact batching)
+        (r, g, b), sd = golden.accumulate_pixels(
+            scene, cam, cfg, cpx, cpy, csd, spp, init=(ar, ag, ab))
+        return jnp.stack([r, g, b], axis=-1), sd
+
+    sums, seeds = jax.lax.map(
+        do_chunk,
+        (px.reshape(-1, chunk), py.reshape(-1, chunk),
+         seed_flat.reshape(-1, chunk),
+         *(a.reshape(-1, chunk) for a in accs)),
+    )
+    acc = sums.reshape(-1, 3)[:n].reshape(h, w, 3)
+    seed = seeds.reshape(-1)[:n].reshape(h, w)
+    return ProgressiveState(acc=acc, seed=seed,
+                            samples=state.samples + spp)
+
+
+def image(state: ProgressiveState, cfg: RenderConfig) -> jnp.ndarray:
+    """Display image (gamma-corrected mean) at the current sample count."""
+    inv = 1.0 / jnp.maximum(state.samples.astype(jnp.float32), 1.0)
+    return golden._to_gamma(state.acc * inv, cfg.gamma)
+
+
+# -- checkpoint / resume -----------------------------------------------------
+
+def save_checkpoint(path: str, state: ProgressiveState,
+                    cfg: RenderConfig) -> None:
+    """Write render state + config to an .npz (portable across hosts)."""
+    np.savez_compressed(
+        path,
+        acc=np.asarray(state.acc),
+        seed=np.asarray(state.seed),
+        samples=np.asarray(state.samples),
+        config=np.array([cfg.width, cfg.height, cfg.spp, cfg.depth,
+                         cfg.chunk_pixels], np.int64),
+        config_f=np.array([cfg.t_min, cfg.gamma], np.float64),
+    )
+
+
+def load_checkpoint(path: str) -> tuple[ProgressiveState, RenderConfig]:
+    z = np.load(path)
+    w, h, spp, depth, chunk = (int(v) for v in z["config"])
+    t_min, gamma = (float(v) for v in z["config_f"])
+    cfg = RenderConfig(width=w, height=h, spp=spp, depth=depth,
+                       t_min=t_min, gamma=gamma, chunk_pixels=chunk)
+    state = ProgressiveState(
+        acc=jnp.asarray(z["acc"]),
+        seed=jnp.asarray(z["seed"]),
+        samples=jnp.asarray(z["samples"]),
+    )
+    return state, cfg
+
+
+def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
+                       batch: int = 8, checkpoint_path: str | None = None,
+                       resume: bool = False):
+    """Render ``cfg.spp`` samples in ``batch``-sized increments.
+
+    Yields (state, image) after each batch; optionally checkpoints after
+    every batch and resumes from ``checkpoint_path``.
+    """
+    if resume and checkpoint_path:
+        state, _ = load_checkpoint(checkpoint_path)
+    else:
+        state = init_state(cfg)
+    while int(state.samples) < cfg.spp:
+        step = min(batch, cfg.spp - int(state.samples))
+        state = accumulate(scene, cam, cfg, state, step)
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, state, cfg)
+        yield state, image(state, cfg)

@@ -1,0 +1,52 @@
+"""CLI smoke tests (the L3 shell, SURVEY.md §1)."""
+
+import json
+import os
+
+import numpy as np
+
+from raytpu import cli
+
+
+def test_render_writes_png(tmp_path):
+    out = str(tmp_path / "img.png")
+    rc = cli.main(["render", "--scene", "config1", "--width", "32",
+                   "--height", "16", "--spp", "1", "--depth", "2",
+                   "--backend", "golden", "--out", out,
+                   "--log", str(tmp_path / "run.jsonl")])
+    assert rc == 0
+    assert os.path.exists(out)
+    with open(out, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    log = [json.loads(l) for l in open(tmp_path / "run.jsonl")]
+    assert log and log[0]["rays_per_sec"] > 0
+
+
+def test_render_progressive_checkpoint(tmp_path):
+    out = str(tmp_path / "img.png")
+    ckpt = str(tmp_path / "ck.npz")
+    rc = cli.main(["render", "--scene", "test", "--width", "32",
+                   "--height", "16", "--spp", "4", "--depth", "2",
+                   "--progressive", "2", "--checkpoint", ckpt,
+                   "--out", out])
+    assert rc == 0
+    assert os.path.exists(out) and os.path.exists(ckpt)
+    # resume on a complete checkpoint still writes the image
+    rc = cli.main(["render", "--scene", "test", "--width", "32",
+                   "--height", "16", "--spp", "4", "--depth", "2",
+                   "--progressive", "2", "--checkpoint", ckpt, "--resume",
+                   "--out", out])
+    assert rc == 0
+
+
+def test_gradcheck_passes(capsys):
+    rc = cli.main(["gradcheck"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["pass"] is True
+
+
+def test_info(capsys):
+    assert cli.main(["info"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["devices"] >= 1

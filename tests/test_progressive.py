@@ -1,0 +1,77 @@
+"""Progressive accumulation: batching invariance + checkpoint round-trip."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import raytpu
+from raytpu import golden, progressive
+from raytpu.config import RenderConfig
+
+
+CFG = RenderConfig(width=40, height=24, spp=6, depth=3, chunk_pixels=128)
+
+
+def _scene_cam():
+    scene = raytpu.test_world()
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=CFG.aspect)
+    return scene, cam
+
+
+def test_batched_equals_oneshot():
+    """2+3+1 samples threaded through carried state == one 6-sample batch,
+    bit-exactly; and matches render_golden to fusion-level rounding (the
+    gamma epilogue fuses differently across the two jit programs)."""
+    scene, cam = _scene_cam()
+
+    one = progressive.init_state(CFG)
+    one = progressive.accumulate(scene, cam, CFG, one, 6)
+
+    state = progressive.init_state(CFG)
+    for step in (2, 3, 1):
+        state = progressive.accumulate(scene, cam, CFG, state, step)
+    assert int(state.samples) == 6
+    np.testing.assert_array_equal(np.asarray(state.acc), np.asarray(one.acc))
+    np.testing.assert_array_equal(np.asarray(state.seed),
+                                  np.asarray(one.seed))
+
+    want = np.asarray(golden.render_golden(scene, cam, CFG))
+    got = np.asarray(progressive.image(state, CFG))
+    np.testing.assert_allclose(got, want, atol=2e-7)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    scene, cam = _scene_cam()
+    path = str(tmp_path / "ckpt.npz")
+
+    state = progressive.init_state(CFG)
+    state = progressive.accumulate(scene, cam, CFG, state, 2)
+    progressive.save_checkpoint(path, state, CFG)
+
+    loaded, cfg2 = progressive.load_checkpoint(path)
+    assert cfg2 == CFG
+    np.testing.assert_array_equal(np.asarray(loaded.acc),
+                                  np.asarray(state.acc))
+    np.testing.assert_array_equal(np.asarray(loaded.seed),
+                                  np.asarray(state.seed))
+
+    # resuming from the checkpoint completes to the one-shot image
+    state_r = progressive.accumulate(scene, cam, CFG, loaded, 4)
+    want = np.asarray(golden.render_golden(scene, cam, CFG))
+    np.testing.assert_allclose(
+        np.asarray(progressive.image(state_r, CFG)), want, atol=2e-7)
+
+
+def test_generator_interface(tmp_path):
+    scene, cam = _scene_cam()
+    path = str(tmp_path / "gen.npz")
+    images = [img for _, img in progressive.render_progressive(
+        scene, cam, CFG, batch=4, checkpoint_path=path)]
+    assert len(images) == 2  # 4 + 2
+    want = np.asarray(golden.render_golden(scene, cam, CFG))
+    np.testing.assert_allclose(np.asarray(images[-1]), want, atol=2e-7)
+
+    # a fresh generator resuming from disk has nothing left to do
+    resumed = list(progressive.render_progressive(
+        scene, cam, CFG, batch=4, checkpoint_path=path, resume=True))
+    assert resumed == []
