@@ -30,6 +30,7 @@ replace it without touching callers.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -44,6 +45,16 @@ from raytpu.scene import Scene
 
 _TILE_H = 8
 _TILE_W = 128
+# debug escape hatch: comma-list of {depth,spp,nsph,nodes} to bake as
+# static Python trip counts instead of SMEM scalars (bisection tool for
+# Mosaic compile/runtime pathologies; see scripts/bench_tpu.py)
+_STATIC_BOUNDS = frozenset(
+    os.environ.get("RAYTPU_STATIC_BOUNDS", "").split(","))
+# debug: disable the whole-tile early-exit (bounce loop becomes fori)
+_NO_EARLY_EXIT = bool(os.environ.get("RAYTPU_NO_EARLY_EXIT"))
+# debug: comma-list of kernel pieces to stub out when measuring cost
+# {nohit, noscatter, norng}; results are WRONG with any flag set
+_ABLATE = frozenset(os.environ.get("RAYTPU_ABLATE", "").split(","))
 _INF = np.float32(3.0e38)
 _SAFE_EPS = np.float32(1e-20)
 
@@ -127,6 +138,15 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
         c_wx, c_wy, c_wz = cam3(15)       # v basis
         lens_r = cam_ref[18]
         defocus = lens_r > 0
+        # runtime trip counts (SMEM scalars, cam pack slots 19-21): static
+        # Python bounds would let Mosaic fully unroll spp x depth x spheres
+        # and explode compile time
+        dyn_depth = (depth if "depth" in _STATIC_BOUNDS
+                     else cam_ref[19].astype(jnp.int32))
+        dyn_spp = (spp if "spp" in _STATIC_BOUNDS
+                   else cam_ref[20].astype(jnp.int32))
+        dyn_nsph = (n_spheres if "nsph" in _STATIC_BOUNDS
+                    else cam_ref[21].astype(jnp.int32))
 
         def trace_one(ox, oy, oz, dx, dy, dz, sd):
             """Bounce loop with whole-tile early exit (golden.trace)."""
@@ -138,7 +158,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
                 alive_f = st[13]
                 # alive mask carried as f32 (Mosaic cannot carry i1
                 # vectors through scf.while); > 0 means alive
-                return (d < depth) & (jnp.max(alive_f) > 0)
+                return (d < dyn_depth) & (jnp.max(alive_f) > 0)
 
             def body(st):
                 (d, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
@@ -194,8 +214,11 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
 
                 hs0 = (zero + _INF, zero, zero, zero, one,
                        zero, zero, zero, zero, zero)
-                if not n_nodes:
-                    hs = jax.lax.fori_loop(0, n_spheres, sphere_body, hs0)
+                if "nohit" in _ABLATE:
+                    hs = ((zero + 0.5) + jnp.where(dx > 0, 0.0, _INF),
+                          *hs0[1:])
+                elif not n_nodes:
+                    hs = jax.lax.fori_loop(0, dyn_nsph, sphere_body, hs0)
                 else:
                     # tile-coherent skip-pointer traversal (raytpu/bvh.py):
                     # the whole tile walks the preorder node list; a node's
@@ -204,8 +227,11 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
                     inv_dy = 1.0 / dy
                     inv_dz = 1.0 / dz
 
+                    dyn_nodes = (n_nodes if "nodes" in _STATIC_BOUNDS
+                                 else cam_ref[22].astype(jnp.int32))
+
                     def t_cond(ts):
-                        return ts[0] < n_nodes
+                        return ts[0] < dyn_nodes
 
                     def t_body(ts):
                         node = ts[0]
@@ -263,8 +289,39 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
                 nz = nz * sgn
 
                 # -- scatter (hlsl:207-252, golden.scatter)
-                (sx, sy, sz), sd_new = rng.random_in_unit_sphere(sd)
-                h1, _ = rng.hash1(sd)
+                if "norng" in _ABLATE:
+                    sx = zero + 0.1
+                    sy = zero + 0.2
+                    sz = zero + 0.3
+                    h1 = zero + 0.5
+                    sd_new = sd
+                else:
+                    (sx, sy, sz), sd_new = rng.random_in_unit_sphere(sd)
+                    h1, _ = rng.hash1(sd)
+
+                if "noscatter" in _ABLATE:
+                    ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+                    scat = alive & hit_any
+                    absorbed = alive & ~hit_any & (zero > 1.0)
+                    missed = alive & ~hit_any
+                    skr, skg, skb = _sky(dx, dy, dz)
+                    rr = jnp.where(missed, cr * skr, rr)
+                    rg = jnp.where(missed, cg * skg, rg)
+                    rb = jnp.where(missed, cb * skb, rb)
+                    cr = jnp.where(scat, cr * h_ar, cr)
+                    cg = jnp.where(scat, cg * h_ag, cg)
+                    cb = jnp.where(scat, cb * h_ab, cb)
+                    ox = jnp.where(scat, hpx, ox)
+                    oy = jnp.where(scat, hpy, oy)
+                    oz = jnp.where(scat, hpz, oz)
+                    dx = jnp.where(scat, ddx, dx)
+                    dy = jnp.where(scat, ddy, dy)
+                    dz = jnp.where(scat, ddz, dz)
+                    sd = jnp.where(scat, sd_new, sd)
+                    alive = alive & ~(missed | absorbed)
+                    alive_f = jnp.where(alive, 1.0, 0.0)
+                    return (d + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                            rr, rg, rb, alive_f, sd)
 
                 ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
 
@@ -324,7 +381,11 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
 
             st = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
                   one, one, one, zero, zero, zero, one, sd)
-            st = jax.lax.while_loop(cond, body, st)
+            if _NO_EARLY_EXIT:
+                st = jax.lax.fori_loop(0, dyn_depth,
+                                       lambda i, st: body(st), st)
+            else:
+                st = jax.lax.while_loop(cond, body, st)
             return st[10], st[11], st[12], st[14]
 
         def sample_body(s, carry):
@@ -354,7 +415,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
 
         zero = jnp.zeros(shape, jnp.float32)
         acc_r, acc_g, acc_b, _ = jax.lax.fori_loop(
-            0, spp, sample_body, (zero, zero, zero, seed))
+            0, dyn_spp, sample_body, (zero, zero, zero, seed))
 
         r_ref[:, :] = _to_gamma(acc_r * inv_spp, gamma)
         g_ref[:, :] = _to_gamma(acc_g * inv_spp, gamma)
@@ -363,11 +424,13 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
     return kernel
 
 
-def _pack_camera(cam: Camera) -> jnp.ndarray:
+def _pack_camera(cam: Camera, cfg: RenderConfig, n_spheres: int,
+                 n_nodes: int) -> jnp.ndarray:
     return jnp.concatenate([
         cam.origin, cam.horizontal, cam.vertical, cam.lower_left,
         cam.u, cam.v, cam.lens_radius[None],
-        jnp.zeros((5,), jnp.float32),
+        jnp.asarray([cfg.depth, cfg.spp, n_spheres, n_nodes, 0],
+                    jnp.float32),
     ]).astype(jnp.float32)
 
 
@@ -395,14 +458,15 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
                          memory_space=pltpu.VMEM)
     if nodes is None:
         kernel = _make_kernel(cfg, n)
-        operands = (_pack_camera(cam), _pack_scene(scene))
+        operands = (_pack_camera(cam, cfg, n, 0), _pack_scene(scene))
         in_specs = [smem, smem]
     else:
         # spheres reordered into BVH leaf order; nodes transposed for
         # scalar row reads
         from raytpu.bvh import permute_scene
-        kernel = _make_kernel(cfg, n, n_nodes=nodes.shape[0])
-        operands = (_pack_camera(cam),
+        m = nodes.shape[0]
+        kernel = _make_kernel(cfg, n, n_nodes=m)
+        operands = (_pack_camera(cam, cfg, n, m),
                     _pack_scene(permute_scene(scene, perm)),
                     nodes.T.astype(jnp.float32))
         in_specs = [smem, smem, smem]
