@@ -1,0 +1,328 @@
+"""Hand-structured adjoint of the bounce loop (SURVEY.md §7 stage 4).
+
+Generic reverse-mode over :func:`raytpu.golden.trace` differentiates the
+whole ``hit_world`` broadcast: the backward of every bounce re-materializes
+a (pixels x spheres) intersection sweep just to pull gradients through the
+argmin gather.  But the derivative of a bounce only involves the ONE
+sphere the ray actually hit — the closest-hit *selection* is discrete and
+detached by policy (golden.py docstring).
+
+So the custom VJP here:
+
+- **forward** runs the plain bounce loop, additionally saving per bounce a
+  compact residual: the incoming ray/throughput state, the winning sphere
+  index, the event masks (scat/missed), and the RNG state (all O(pixels x
+  depth), no sphere dimension);
+- **backward** is a reverse ``lax.scan`` that, per bounce, re-derives the
+  continuous math of ``bounce_step`` against ONLY the gathered sphere
+  (jax.vjp of a small closed function) and scatter-adds the sphere-param
+  cotangents at the stored index.
+
+Cost: O(P * depth) backward instead of O(P * depth * N) — the win scales
+with scene size; gradients are IDENTICAL (same detach policy, same
+continuous math) to ``jax.grad`` of the golden renderer up to f32
+reassociation.
+
+The RNG draws are recomputed from the stored pre-bounce state (counter
+-based streams make this free), so no random vectors are stored.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from raytpu import rng
+from raytpu.camera import Camera, get_ray
+from raytpu.config import RenderConfig
+from raytpu.scene import Scene
+from raytpu.golden import (
+    _dot3, _normalize3, _reflect, _refract, _schlick, _sky, _to_gamma,
+    hit_world, _INF,
+)
+
+
+def _gather_leaves(scene: Scene, idx):
+    return (scene.center[idx], scene.radius[idx], scene.albedo[idx],
+            scene.mat_param[idx])
+
+
+def _bounce_math(ro, rd, thr, gathered, mat, seed, masks, t_min):
+    """Continuous per-bounce math against the ONE gathered sphere.
+
+    ro/rd/thr: incoming ray origin/direction/throughput (SoA tuples).
+    gathered: (center (...,3), radius, albedo (...,3), mat_param) of the
+    winning sphere (already gathered — gradients flow to these).
+    mat: i32 material type of the winner (discrete, no grad).
+    masks: (scat, missed) booleans — the detached discrete events.
+    Returns (new ro, new rd, new thr, radiance contribution) —
+    exactly golden.trace's body with the argmin/gather replaced by the
+    pre-selected sphere.
+    """
+    ox, oy, oz = ro
+    dx, dy, dz = rd
+    cr, cg, cb = thr
+    center, radius, albedo, param = gathered
+    scat, missed = masks
+
+    # recompute t for the selected sphere (hlsl:155-186 quadratic,
+    # near-root selection re-derived; root CHOICE rides the sign bits of
+    # the same continuous quantities, matching hit_world's selection)
+    cx, cy, cz_ = center[..., 0], center[..., 1], center[..., 2]
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz_
+    a = _dot3(dx, dy, dz, dx, dy, dz)
+    half_b = ocx * dx + ocy * dy + ocz * dz
+    c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - radius * radius
+    disc = half_b * half_b - a * c
+    sqrtd = jnp.sqrt(jnp.maximum(disc, 1e-20))
+    root1 = (-half_b - sqrtd) / a
+    root2 = (-half_b + sqrtd) / a
+    near_ok = jax.lax.stop_gradient(root1 >= t_min)
+    t = jnp.where(near_ok, root1, root2)
+    t = jnp.where(jax.lax.stop_gradient(scat), t, 1.0)  # dead lanes: safe t
+
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    inv_r = 1.0 / jnp.where(radius == 0, 1.0, radius)
+    nx = (px - cx) * inv_r
+    ny = (py - cy) * inv_r
+    nz = (pz - cz_) * inv_r
+    front = jax.lax.stop_gradient(_dot3(dx, dy, dz, nx, ny, nz) < 0)
+    sgn = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+    # scatter draws recomputed from the stored pre-bounce RNG state
+    (sx, sy, sz), _ = rng.random_in_unit_sphere(seed)
+    h1, _ = rng.hash1(seed)
+    sx = jax.lax.stop_gradient(sx)
+    sy = jax.lax.stop_gradient(sy)
+    sz = jax.lax.stop_gradient(sz)
+    h1 = jax.lax.stop_gradient(h1)
+
+    ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+    rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
+    mdx, mdy, mdz = _normalize3(rx + param * sx, ry + param * sy,
+                                rz + param * sz)
+
+    is_glass = mat == 2
+    ior = jnp.where(is_glass, jnp.maximum(param, 1e-3), 1.5)
+    ux, uy, uz = _normalize3(dx, dy, dz)
+    ratio = jnp.where(front, 1.0 / ior, ior)
+    cosine = jnp.minimum(_dot3(-ux, -uy, -uz, nx, ny, nz), 1.0)
+    sine = jnp.sqrt(jnp.maximum(1.0 - cosine * cosine, 0.0))
+    cannot = ratio * sine > 1.0
+    use_reflect = jax.lax.stop_gradient(
+        cannot | (_schlick(cosine, ratio) > h1))
+    rfx, rfy, rfz = _reflect(ux, uy, uz, nx, ny, nz)
+    tx, ty, tz = _refract(ux, uy, uz, nx, ny, nz, ratio)
+    gdx = jnp.where(use_reflect, rfx, tx)
+    gdy = jnp.where(use_reflect, rfy, ty)
+    gdz = jnp.where(use_reflect, rfz, tz)
+
+    is_d = mat == 0
+    is_m = mat == 1
+    atr = jnp.where(is_glass, 1.0, albedo[..., 0])
+    atg = jnp.where(is_glass, 1.0, albedo[..., 1])
+    atb = jnp.where(is_glass, 1.0, albedo[..., 2])
+    odx = jnp.where(is_d, ddx, jnp.where(is_m, mdx, gdx))
+    ody = jnp.where(is_d, ddy, jnp.where(is_m, mdy, gdy))
+    odz = jnp.where(is_d, ddz, jnp.where(is_m, mdz, gdz))
+
+    skr, skg, skb = _sky(dx, dy, dz)
+    out_r = jnp.where(missed, cr * skr, 0.0)
+    out_g = jnp.where(missed, cg * skg, 0.0)
+    out_b = jnp.where(missed, cb * skb, 0.0)
+
+    n_cr = jnp.where(scat, cr * atr, cr)
+    n_cg = jnp.where(scat, cg * atg, cg)
+    n_cb = jnp.where(scat, cb * atb, cb)
+    n_ox = jnp.where(scat, px, ox)
+    n_oy = jnp.where(scat, py, oy)
+    n_oz = jnp.where(scat, pz, oz)
+    n_dx = jnp.where(scat, odx, dx)
+    n_dy = jnp.where(scat, ody, dy)
+    n_dz = jnp.where(scat, odz, dz)
+
+    return ((n_ox, n_oy, n_oz), (n_dx, n_dy, n_dz),
+            (n_cr, n_cg, n_cb), (out_r, out_g, out_b))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def trace_adjoint(scene: Scene, ro, rd, seed, depth: int, t_min: float):
+    """Drop-in for golden.trace with the hand-structured backward."""
+    out, _ = _trace_fwd_impl(scene, ro, rd, seed, depth, t_min)
+    return out
+
+
+def _trace_fwd_impl(scene, ro, rd, seed, depth, t_min):
+    rox, roy, roz = ro
+    rdx, rdy, rdz = rd
+    zero = rox * 0.0
+    one = zero + 1.0
+
+    def body(st, _):
+        (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb, alive, sd) = st
+        hit_any, t, idx, normal, front = hit_world(
+            scene, (ox, oy, oz), (dx, dy, dz), t_min)
+
+        # event classification (discrete residuals)
+        mat = scene.mat_type[idx]
+        ok = (mat == 0) | (mat == 1) | (mat == 2)
+        scat = alive & hit_any & ok
+        absorbed = alive & hit_any & ~ok
+        missed = alive & ~hit_any
+
+        res = (ox, oy, oz, dx, dy, dz, cr, cg, cb, idx, scat, missed, sd)
+
+        gathered = _gather_leaves(scene, idx)
+        (n_ro, n_rd, n_thr, out) = _bounce_math(
+            (ox, oy, oz), (dx, dy, dz), (cr, cg, cb), gathered, mat, sd,
+            (scat, missed), t_min)
+        (sx3, sy3, sz3) = n_rd
+        _, sd_new = rng.random_in_unit_sphere(sd)
+
+        rr = rr + out[0]
+        rg = rg + out[1]
+        rb = rb + out[2]
+        sd = jnp.where(scat, sd_new, sd)
+        alive = alive & ~(missed | absorbed)
+        st = (*n_ro, sx3, sy3, sz3, *n_thr, rr, rg, rb, alive, sd)
+        return st, res
+
+    st0 = (rox, roy, roz, rdx, rdy, rdz, one, one, one,
+           zero, zero, zero, zero < 1.0, seed)
+    st, residuals = jax.lax.scan(body, st0, None, length=depth)
+    (_, _, _, _, _, _, _, _, _, rr, rg, rb, _, sd) = st
+    return ((rr, rg, rb), sd), residuals
+
+
+def _trace_fwd(scene, ro, rd, seed, depth, t_min):
+    out, residuals = _trace_fwd_impl(scene, ro, rd, seed, depth, t_min)
+    return out, (scene, residuals)
+
+
+def _trace_bwd(depth, t_min, saved, ct):
+    scene, residuals = saved
+    (ct_r, ct_g, ct_b), _ = ct  # no cotangent flows through the seed
+
+    zero_scene = Scene(
+        center=jnp.zeros_like(scene.center),
+        radius=jnp.zeros_like(scene.radius),
+        mat_type=None,
+        albedo=jnp.zeros_like(scene.albedo),
+        mat_param=jnp.zeros_like(scene.mat_param),
+    )
+
+    shape = ct_r.shape
+    zero = jnp.zeros(shape, jnp.float32)
+
+    # reverse scan over stored bounces: cotangents flow backwards through
+    # (ray origin, direction, throughput); radiance contributions add in
+    # at the bounce where they were emitted
+    def bwd_body(carry, res):
+        (d_ox, d_oy, d_oz, d_dx, d_dy, d_dz, d_cr, d_cg, d_cb,
+         g_center, g_radius, g_albedo, g_param) = carry
+        (ox, oy, oz, dx, dy, dz, cr, cg, cb, idx, scat, missed, sd) = res
+
+        mat = scene.mat_type[idx]
+        gathered = _gather_leaves(scene, idx)
+
+        def f(ro, rd, thr, gathered):
+            return _bounce_math(ro, rd, thr, gathered, mat, sd,
+                                (scat, missed), t_min)
+
+        _, vjp = jax.vjp(f, (ox, oy, oz), (dx, dy, dz), (cr, cg, cb),
+                         gathered)
+        ct_out = ((d_ox, d_oy, d_oz), (d_dx, d_dy, d_dz),
+                  (d_cr, d_cg, d_cb), (ct_r, ct_g, ct_b))
+        (n_ro, n_rd, n_thr, g_gathered) = vjp(ct_out)
+
+        gc, gr, ga, gp = g_gathered
+        # segment-sum as one-hot matmul: TPU scatter-add serializes, but
+        # (N, P) x (P, K) rides the MXU
+        n = scene.count
+        oh = jax.nn.one_hot(idx.reshape(-1), n, dtype=jnp.float32,
+                            axis=0)                       # (N, P)
+        g_center = g_center + oh @ gc.reshape(-1, 3)
+        g_albedo = g_albedo + oh @ ga.reshape(-1, 3)
+        g_rp = oh @ jnp.stack(
+            [gr.reshape(-1), gp.reshape(-1)], axis=-1)    # (N, 2)
+        g_radius = g_radius + g_rp[:, 0]
+        g_param = g_param + g_rp[:, 1]
+
+        carry = (*n_ro, *n_rd, *n_thr, g_center, g_radius, g_albedo,
+                 g_param)
+        return carry, None
+
+    carry0 = (zero, zero, zero, zero, zero, zero, zero, zero, zero,
+              zero_scene.center, zero_scene.radius, zero_scene.albedo,
+              zero_scene.mat_param)
+    carry, _ = jax.lax.scan(bwd_body, carry0, residuals, reverse=True)
+    (d_ox, d_oy, d_oz, d_dx, d_dy, d_dz, _, _, _,
+     g_center, g_radius, g_albedo, g_param) = carry
+
+    d_scene = Scene(center=g_center, radius=g_radius, mat_type=None,
+                    albedo=g_albedo, mat_param=g_param)
+    return (d_scene, (d_ox, d_oy, d_oz), (d_dx, d_dy, d_dz), None)
+
+
+trace_adjoint.defvjp(_trace_fwd, _trace_bwd)
+
+
+# -- full-frame adjoint renderer --------------------------------------------
+
+def render_pixels_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig,
+                          px, py):
+    """golden.render_pixels with the hand-structured trace adjoint."""
+    seed = rng.pixel_seed(px.astype(jnp.uint32), py.astype(jnp.uint32))
+    fx = px.astype(jnp.float32)
+    fy = py.astype(jnp.float32)
+    inv_w = jnp.float32(1.0 / (cfg.width - 1))
+    inv_h = jnp.float32(1.0 / (cfg.height - 1))
+    zero = fx * 0.0
+
+    def sample(carry, _):
+        acc_r, acc_g, acc_b, sd = carry
+        (j1a, _), sd = rng.hash2(sd)
+        (_, j2b), sd = rng.hash2(sd)
+        u = (fx + j1a * 1.1) * inv_w
+        v = (fy + j2b * 1.1) * inv_h
+        ro, rd, sd = get_ray(cam, u, v, sd)
+        (r, g, b), sd = trace_adjoint(scene, ro, rd, sd, cfg.depth,
+                                      cfg.t_min)
+        return (acc_r + r, acc_g + g, acc_b + b, sd), None
+
+    (acc_r, acc_g, acc_b, _), _ = jax.lax.scan(
+        sample, (zero, zero, zero, seed), None, length=cfg.spp)
+    inv_spp = jnp.float32(1.0 / cfg.spp)
+    return _to_gamma(acc_r * inv_spp, cfg.gamma), \
+        _to_gamma(acc_g * inv_spp, cfg.gamma), \
+        _to_gamma(acc_b * inv_spp, cfg.gamma)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def render_golden_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig):
+    """Full-frame render whose backward uses the hand-structured adjoint.
+
+    Forward values equal render_golden up to f32 reassociation; gradients
+    equal jax.grad-of-golden (same detach policy) at O(P*depth) backward
+    cost instead of O(P*depth*N).
+    """
+    h, w = cfg.height, cfg.width
+    n = h * w
+    chunk = min(cfg.chunk_pixels, n)
+    pad = (-n) % chunk
+    flat = jnp.arange(n + pad, dtype=jnp.int32)
+    px = flat % w
+    py = jnp.minimum(flat // w, h - 1)
+
+    def do_chunk(xy):
+        r, g, b = render_pixels_adjoint(scene, cam, cfg, xy[0], xy[1])
+        return jnp.stack([r, g, b], axis=-1)
+
+    chunks = jax.lax.map(
+        do_chunk, (px.reshape(-1, chunk), py.reshape(-1, chunk)))
+    return chunks.reshape(-1, 3)[:n].reshape(h, w, 3)

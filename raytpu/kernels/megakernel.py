@@ -483,13 +483,14 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 def _golden_bwd(cfg, res, ct):
-    # Backward re-traces through the golden renderer: the two forwards
-    # compute the same function (tests assert allclose), so golden's VJP is
-    # the correct cotangent pull-back.  Recompute-not-store: no residual
-    # tensors beyond the inputs (SURVEY.md §7 adjoint strategy, rev 1).
+    # Backward re-traces through the hand-structured adjoint renderer
+    # (raytpu/adjoint.py): identical forward semantics to this kernel
+    # (tests assert allclose), with an O(P*depth) backward that touches
+    # only the hit sphere per bounce — no N-sweep in reverse mode.
+    from raytpu import adjoint
     scene, cam = res
     _, vjp = jax.vjp(
-        lambda s, c: golden.render_golden(s, c, cfg), scene, cam)
+        lambda s, c: adjoint.render_golden_adjoint(s, c, cfg), scene, cam)
     ds, dc = vjp(ct)
     ds = ds._replace(mat_type=None)  # discrete leaf: no cotangent
     return ds, dc

@@ -62,7 +62,10 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
 def _grad_impl(scene, cam, target, cfg, backend):
     def loss_fn(scene_, cam_):
         if backend == "golden":
-            img = golden.render_golden(scene_, cam_, cfg)
+            # hand-structured adjoint: forward bit-identical to golden,
+            # backward O(P*depth) (raytpu/adjoint.py)
+            from raytpu import adjoint
+            img = adjoint.render_golden_adjoint(scene_, cam_, cfg)
         else:
             from raytpu.kernels import megakernel
             img = megakernel.render_pallas(scene_, cam_, cfg)
