@@ -46,15 +46,29 @@ class BVH(NamedTuple):
         return self.nodes.shape[0]
 
 
-def build_bvh(scene: Scene, leaf_size: int = 8, pad: float = 1e-4) -> BVH:
-    """Median-split BVH over the scene's spheres (host-side, numpy).
+def build_bvh(scene: Scene, leaf_size: int = 8, pad: float = 1e-4,
+              use_native: bool = True) -> BVH:
+    """Median-split BVH over the scene's spheres (host-side).
+
+    Uses the native C++ builder (native/rt_native.cpp via ctypes) when
+    available — same algorithm, bit-identical output, ~100x faster for
+    large scenes; falls back to this numpy implementation otherwise
+    (``RAYTPU_NO_NATIVE=1`` forces the fallback).
 
     ``pad`` slightly enlarges every box so slab tests with rays lying
     exactly on a face (NaN from 0 * inf) can only produce false *hits*,
     never false misses — traversal stays conservative.
     """
     center = np.asarray(scene.center, np.float64)
-    radius = np.abs(np.asarray(scene.radius, np.float64))
+    radius = np.asarray(scene.radius, np.float64)
+    if use_native:
+        from raytpu import native
+        out = native.build_bvh_native(center, radius, leaf_size, pad)
+        if out is not None:
+            nodes_arr, perm_arr = out
+            return BVH(nodes=jnp.asarray(nodes_arr),
+                       perm=jnp.asarray(perm_arr))
+    radius = np.abs(radius)
     lo = center - radius[:, None]
     hi = center + radius[:, None]
 

@@ -147,3 +147,19 @@ def test_pallas_bvh_grads_match_golden():
         np.testing.assert_allclose(np.asarray(getattr(gp, k)),
                                    np.asarray(getattr(gg, k)),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_native_builder_matches_numpy():
+    """C++ builder output is bit-identical to the numpy reference."""
+    import pytest
+    from raytpu import native
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    for seed, leaf in ((1, 1), (2, 4), (3, 8), (4, 16)):
+        scene = raytpu.random_world(seed=seed, half_extent=5)
+        a = bvh_mod.build_bvh(scene, leaf_size=leaf, use_native=True)
+        b = bvh_mod.build_bvh(scene, leaf_size=leaf, use_native=False)
+        np.testing.assert_array_equal(np.asarray(a.nodes),
+                                      np.asarray(b.nodes))
+        np.testing.assert_array_equal(np.asarray(a.perm),
+                                      np.asarray(b.perm))
