@@ -17,7 +17,12 @@ rendering *semantics* (see SURVEY.md); the architecture here is TPU-first:
 """
 
 from raytpu.config import RenderConfig
-from raytpu.camera import Camera, make_camera
+from raytpu.camera import (
+    Camera,
+    make_camera,
+    reference_camera_v1,
+    reference_camera_v2,
+)
 from raytpu.scene import (
     Scene,
     make_scene,
@@ -28,6 +33,7 @@ from raytpu.scene import (
     final_world,
 )
 from raytpu.render import render, render_grad
+from raytpu.bvh import BVH, build_bvh
 
 __version__ = "0.1.0"
 
@@ -35,6 +41,8 @@ __all__ = [
     "RenderConfig",
     "Camera",
     "make_camera",
+    "reference_camera_v1",
+    "reference_camera_v2",
     "Scene",
     "make_scene",
     "test_world",
@@ -44,4 +52,6 @@ __all__ = [
     "final_world",
     "render",
     "render_grad",
+    "BVH",
+    "build_bvh",
 ]

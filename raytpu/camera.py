@@ -85,6 +85,22 @@ def make_camera(
     )
 
 
+def reference_camera_v2(aspect: float = 16.0 / 9.0) -> Camera:
+    """The v2 compute-shader camera: lookFrom (13,2,3) -> origin, vfov 20,
+    pinhole (the reference passes aperture=2.0 but its kernel ignores it —
+    ref: CSVersion/DxCSApp.cpp:176-179,488-489; ShaderCompute.hlsl:118-127).
+    """
+    return make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                       aspect=aspect, aperture=0.0)
+
+
+def reference_camera_v1() -> Camera:
+    """The v1 pixel-shader thin-lens camera: vfov 20, 4:3, aperture 0.1,
+    focus dist 10 (ref: DXRayTrace.cpp:196-223)."""
+    return make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                       aspect=4.0 / 3.0, aperture=0.1, focus_dist=10.0)
+
+
 def get_ray(cam: Camera, s, t, seed):
     """Generate one ray per (s, t); returns ((ox,oy,oz), (dx,dy,dz), seed).
 

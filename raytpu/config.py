@@ -35,5 +35,12 @@ CONFIG2 = RenderConfig(width=400, height=200, spp=20, depth=12)
 CONFIG3 = RenderConfig(width=400, height=200, spp=20, depth=12)
 CONFIG4 = RenderConfig(width=800, height=400, spp=100, depth=12)
 CONFIG5 = RenderConfig(width=1920, height=1080, spp=500, depth=12)
-# The reference's own v2 run (ref: CSVersion/DxCSApp.cpp:133,330-331)
+# The reference's own runs:
+# v2 compute shader (ref: CSVersion/DxCSApp.cpp:133,330-331)
 REFERENCE_V2 = RenderConfig(width=1024, height=576, spp=60, depth=50)
+# v2 golden-image config (ref: examples/12depth20rays.png filename)
+REFERENCE_GOLDEN = RenderConfig(width=1024, height=576, spp=20, depth=12)
+# v1 pixel shader: 640x480, 1 spp, fixed depth 25, sqrt gamma
+# (ref: main.cpp:83, Shader_RT.fx:392,430,448-450)
+REFERENCE_V1 = RenderConfig(width=640, height=480, spp=1, depth=25,
+                            gamma=2.0)
