@@ -118,7 +118,10 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         shape = (_TILE_H, _TILE_W)
-        py = (ti * _TILE_H
+        # row0 (cam slot 23): absolute row of this kernel's first tile —
+        # nonzero when a device renders one slab of a sharded frame
+        row0 = cam_ref[23].astype(jnp.int32)
+        py = (row0 + ti * _TILE_H
               + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
         px = (tj * _TILE_W
               + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
@@ -425,12 +428,13 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
 
 
 def _pack_camera(cam: Camera, cfg: RenderConfig, n_spheres: int,
-                 n_nodes: int) -> jnp.ndarray:
+                 n_nodes: int, row0=0) -> jnp.ndarray:
     return jnp.concatenate([
         cam.origin, cam.horizontal, cam.vertical, cam.lower_left,
         cam.u, cam.v, cam.lens_radius[None],
-        jnp.asarray([cfg.depth, cfg.spp, n_spheres, n_nodes, 0],
+        jnp.asarray([cfg.depth, cfg.spp, n_spheres, n_nodes],
                     jnp.float32),
+        jnp.asarray(row0, jnp.float32)[None],
     ]).astype(jnp.float32)
 
 
@@ -445,20 +449,31 @@ def _pack_scene(scene: Scene) -> jnp.ndarray:
 
 
 def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
-                            interpret: bool, nodes=None, perm=None):
-    h, w = cfg.height, cfg.width
+                            interpret: bool, nodes=None, perm=None,
+                            row0=0, rows=None, vma=None):
+    """Render rows [row0, row0+rows) of the cfg-sized frame.
+
+    ``rows=None`` renders the whole frame.  ``row0`` may be traced (it
+    rides the camera scalar pack), so one compiled kernel serves every
+    slab of a sharded frame.  ``vma`` declares the output's varying mesh
+    axes when called inside ``jax.shard_map``."""
+    h, w = (rows if rows is not None else cfg.height), cfg.width
     hp = -(-h // _TILE_H) * _TILE_H
     wp = -(-w // _TILE_W) * _TILE_W
     grid = (hp // _TILE_H, wp // _TILE_W)
     n = scene.count
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    if vma is None:
+        out = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    else:
+        out = jax.ShapeDtypeStruct((hp, wp), jnp.float32,
+                                   vma=frozenset(vma))
     plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     if nodes is None:
         kernel = _make_kernel(cfg, n)
-        operands = (_pack_camera(cam, cfg, n, 0), _pack_scene(scene))
+        operands = (_pack_camera(cam, cfg, n, 0, row0), _pack_scene(scene))
         in_specs = [smem, smem]
     else:
         # spheres reordered into BVH leaf order; nodes transposed for
@@ -466,7 +481,7 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
         from raytpu.bvh import permute_scene
         m = nodes.shape[0]
         kernel = _make_kernel(cfg, n, n_nodes=m)
-        operands = (_pack_camera(cam, cfg, n, m),
+        operands = (_pack_camera(cam, cfg, n, m, row0),
                     _pack_scene(permute_scene(scene, perm)),
                     nodes.T.astype(jnp.float32))
         in_specs = [smem, smem, smem]

@@ -83,6 +83,45 @@ def render_sharded(scene: Scene, cam: Camera, cfg: RenderConfig, *,
     return colors[:n].reshape(cfg.height, cfg.width, 3)
 
 
+def render_sharded_pallas(scene: Scene, cam: Camera, cfg: RenderConfig, *,
+                          mesh: Mesh, bvh=None,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """Pallas megakernel sharded over ``mesh``: one row slab per device.
+
+    Each device runs the SAME compiled kernel on its slab — the absolute
+    row offset rides a camera scalar (megakernel cam slot 23), and RNG
+    keys derive from absolute pixel coords, so the image is identical to
+    the single-chip Pallas render for any mesh size.
+    """
+    from raytpu.kernels import megakernel
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n_shards = mesh.devices.size
+    slab = -(-cfg.height // (megakernel._TILE_H * n_shards)) \
+        * megakernel._TILE_H
+    nodes = None if bvh is None else bvh.nodes
+    perm = None if bvh is None else bvh.perm
+
+    def shard_fn(scene, cam):
+        row0 = jax.lax.axis_index(AXIS) * slab
+        return megakernel._render_pallas_fwd_impl(
+            scene, cam, cfg, interpret, nodes, perm,
+            row0=row0, rows=slab)
+
+    # check_vma=False: a pure per-device map with no collectives (the
+    # Pallas interpreter's internals mix varying/unvaried operands and
+    # trip the varying-axis checker; nothing here needs it)
+    img = jax.jit(jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(AXIS),
+        check_vma=False,
+    ))(scene, cam)
+    return img[:cfg.height]
+
+
 def make_train_step(cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2):
     """Build a jitted inverse-rendering train step over ``mesh``.
 

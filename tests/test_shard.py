@@ -99,3 +99,29 @@ def test_train_step_grads_match_unsharded():
         # atol: psum's shard-wise f32 summation order differs from the
         # single-device full-image reduction
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-5)
+
+
+def test_sharded_pallas_matches_golden_across_mesh_sizes():
+    """Row-slab Pallas sharding (megakernel cam slot 23 row offset) is
+    bit-identical to golden for every mesh size."""
+    cfg = RenderConfig(width=40, height=24, spp=2, depth=3)
+    scene, cam = _scene_cam()
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    for nd in (1, 2, 8):
+        mesh = shard.make_mesh(jax.devices()[:nd])
+        got = np.asarray(
+            shard.render_sharded_pallas(scene, cam, cfg, mesh=mesh))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_pallas_bvh_matches_golden():
+    from raytpu import bvh as bvh_mod
+    cfg = RenderConfig(width=40, height=24, spp=1, depth=3)
+    scene = raytpu.random_world(seed=3, half_extent=3)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect)
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    mesh = shard.make_mesh(jax.devices()[:4])
+    got = np.asarray(shard.render_sharded_pallas(
+        scene, cam, cfg, mesh=mesh, bvh=bvh_mod.build_bvh(scene)))
+    np.testing.assert_array_equal(got, want)
