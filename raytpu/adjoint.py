@@ -77,8 +77,9 @@ def _bounce_math(ro, rd, thr, gathered, mat, seed, masks, t_min):
     c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - radius * radius
     disc = half_b * half_b - a * c
     sqrtd = jnp.sqrt(jnp.maximum(disc, 1e-20))
-    root1 = (-half_b - sqrtd) / a
-    root2 = (-half_b + sqrtd) / a
+    inv_a = 1.0 / a
+    root1 = (-half_b - sqrtd) * inv_a
+    root2 = (-half_b + sqrtd) * inv_a
     near_ok = jax.lax.stop_gradient(root1 >= t_min)
     t = jnp.where(near_ok, root1, root2)
     t = jnp.where(jax.lax.stop_gradient(scat), t, 1.0)  # dead lanes: safe t
@@ -150,14 +151,46 @@ def _bounce_math(ro, rd, thr, gathered, mat, seed, masks, t_min):
             (n_cr, n_cg, n_cb), (out_r, out_g, out_b))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def trace_adjoint(scene: Scene, ro, rd, seed, depth: int, t_min: float):
-    """Drop-in for golden.trace with the hand-structured backward."""
-    out, _ = _trace_fwd_impl(scene, ro, rd, seed, depth, t_min)
+def _near_miss_sweep(scene: Scene, ro, rd):
+    """Closest near-miss sphere per ray: argmax of the (negative)
+    discriminant over forward-facing spheres.  O(P*N); only run when
+    silhouette gradients are enabled (vis_w > 0)."""
+    rox, roy, roz = ro
+    rdx, rdy, rdz = rd
+    cx, cy, cz = scene.center[:, 0], scene.center[:, 1], scene.center[:, 2]
+    rad = scene.radius
+    ocx = rox[..., None] - cx
+    ocy = roy[..., None] - cy
+    ocz = roz[..., None] - cz
+    a = _dot3(rdx, rdy, rdz, rdx, rdy, rdz)[..., None]
+    half_b = (ocx * rdx[..., None] + ocy * rdy[..., None]
+              + ocz * rdz[..., None])
+    c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
+    disc = half_b * half_b - a * c
+    # forward-facing misses only (closest approach ahead of the origin)
+    score = jnp.where((half_b < 0) & (disc < 0), disc, -_INF)
+    m_idx = jnp.argmax(score, axis=-1).astype(jnp.int32)
+    has_nm = jnp.max(score, axis=-1) > -_INF
+    return m_idx, has_nm
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def trace_adjoint(scene: Scene, ro, rd, seed, depth: int, t_min: float,
+                  vis_w: float = 0.0):
+    """Drop-in for golden.trace with the hand-structured backward.
+
+    ``vis_w > 0`` additionally gives the backward pass **silhouette
+    (boundary) gradients**: forward values are still the exact hard
+    render, but d(pixel)/d(center, radius) gains the visibility term via
+    a soft-coverage straight-through estimator of width ``~sqrt(vis_w)``
+    in world units — the term FD measures across silhouettes and the
+    detached-discrete policy otherwise drops.  Use for geometry
+    optimization (BASELINE config 3)."""
+    out, _ = _trace_fwd_impl(scene, ro, rd, seed, depth, t_min, vis_w)
     return out
 
 
-def _trace_fwd_impl(scene, ro, rd, seed, depth, t_min):
+def _trace_fwd_impl(scene, ro, rd, seed, depth, t_min, vis_w=0.0):
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
     zero = rox * 0.0
@@ -176,6 +209,10 @@ def _trace_fwd_impl(scene, ro, rd, seed, depth, t_min):
         missed = alive & ~hit_any
 
         res = (ox, oy, oz, dx, dy, dz, cr, cg, cb, idx, scat, missed, sd)
+        if vis_w > 0:
+            m_idx, has_nm = _near_miss_sweep(
+                scene, (ox, oy, oz), (dx, dy, dz))
+            res = res + (m_idx, missed & has_nm)
 
         gathered = _gather_leaves(scene, idx)
         (n_ro, n_rd, n_thr, out) = _bounce_math(
@@ -199,13 +236,19 @@ def _trace_fwd_impl(scene, ro, rd, seed, depth, t_min):
     return ((rr, rg, rb), sd), residuals
 
 
-def _trace_fwd(scene, ro, rd, seed, depth, t_min):
-    out, residuals = _trace_fwd_impl(scene, ro, rd, seed, depth, t_min)
-    return out, (scene, residuals)
+def _trace_fwd(scene, ro, rd, seed, depth, t_min, vis_w):
+    out, residuals = _trace_fwd_impl(scene, ro, rd, seed, depth, t_min,
+                                     vis_w)
+    ((rr, rg, rb), _) = out
+    return out, (scene, residuals, (rr, rg, rb))
 
 
-def _trace_bwd(depth, t_min, saved, ct):
-    scene, residuals = saved
+def _sigmoid(x):
+    return 1.0 / (1.0 + jnp.exp(-x))
+
+
+def _trace_bwd(depth, t_min, vis_w, saved, ct):
+    scene, residuals, (v_r, v_g, v_b) = saved
     (ct_r, ct_g, ct_b), _ = ct  # no cotangent flows through the seed
 
     zero_scene = Scene(
@@ -225,7 +268,12 @@ def _trace_bwd(depth, t_min, saved, ct):
     def bwd_body(carry, res):
         (d_ox, d_oy, d_oz, d_dx, d_dy, d_dz, d_cr, d_cg, d_cb,
          g_center, g_radius, g_albedo, g_param) = carry
-        (ox, oy, oz, dx, dy, dz, cr, cg, cb, idx, scat, missed, sd) = res
+        if vis_w > 0:
+            (ox, oy, oz, dx, dy, dz, cr, cg, cb, idx, scat, missed, sd,
+             m_idx, nm_valid) = res
+        else:
+            (ox, oy, oz, dx, dy, dz, cr, cg, cb, idx, scat, missed,
+             sd) = res
 
         mat = scene.mat_type[idx]
         gathered = _gather_leaves(scene, idx)
@@ -253,6 +301,59 @@ def _trace_bwd(depth, t_min, saved, ct):
         g_radius = g_radius + g_rp[:, 0]
         g_param = g_param + g_rp[:, 1]
 
+        if vis_w > 0:
+            # -- silhouette (boundary) gradients.  The soft-coverage
+            # estimator alpha = sigmoid(disc / (a * vis_w)) is a value
+            # -neutral straight-through correction: only d(alpha) enters,
+            # scaled by the radiance jump the coverage change would cause.
+            skr, skg, skb = _sky(dx, dy, dz)
+
+            def boundary(sel_idx, jump_r, jump_g, jump_b, mask):
+                C = scene.center[sel_idx]
+                R = scene.radius[sel_idx]
+                ocx = ox - C[..., 0]
+                ocy = oy - C[..., 1]
+                ocz = oz - C[..., 2]
+                a = _dot3(dx, dy, dz, dx, dy, dz)
+                hb = ocx * dx + ocy * dy + ocz * dz
+                c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - R * R
+                disc = hb * hb - a * c
+                sref = a * jnp.float32(vis_w)
+                sig = _sigmoid(disc / sref)
+                dsig = sig * (1.0 - sig) / sref
+                w_ct = ct_r * jump_r + ct_g * jump_g + ct_b * jump_b
+                f = jnp.where(mask, dsig * w_ct, 0.0)
+                # d disc / d center = 2a*oc - 2hb*d ; d disc / d radius = 2aR
+                gcx = f * (2 * a * ocx - 2 * hb * dx)
+                gcy = f * (2 * a * ocy - 2 * hb * dy)
+                gcz = f * (2 * a * ocz - 2 * hb * dz)
+                grr = f * (2 * a * R)
+                ohb = jax.nn.one_hot(sel_idx.reshape(-1), n,
+                                     dtype=jnp.float32, axis=0)
+                dgc = ohb @ jnp.stack(
+                    [gcx.reshape(-1), gcy.reshape(-1), gcz.reshape(-1),
+                     grr.reshape(-1)], axis=-1)
+                return dgc[:, :3], dgc[:, 3]
+
+            # hit side: losing coverage changes this sample from its
+            # traced value V to throughput * sky
+            dgc, dgr = boundary(idx, v_r - cr * skr, v_g - cg * skg,
+                                v_b - cb * skb, scat)
+            g_center = g_center + dgc
+            g_radius = g_radius + dgr
+            # miss side: the nearest forward near-miss sphere gaining
+            # coverage; crude local estimate of the would-be radiance
+            # (one diffuse attenuation then sky)
+            alb_m = scene.albedo[m_idx]
+            dgc, dgr = boundary(
+                m_idx,
+                cr * skr * alb_m[..., 0] - v_r,
+                cg * skg * alb_m[..., 1] - v_g,
+                cb * skb * alb_m[..., 2] - v_b,
+                nm_valid)
+            g_center = g_center + dgc
+            g_radius = g_radius + dgr
+
         carry = (*n_ro, *n_rd, *n_thr, g_center, g_radius, g_albedo,
                  g_param)
         return carry, None
@@ -275,7 +376,7 @@ trace_adjoint.defvjp(_trace_fwd, _trace_bwd)
 # -- full-frame adjoint renderer --------------------------------------------
 
 def render_pixels_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig,
-                          px, py):
+                          px, py, vis_w: float = 0.0):
     """golden.render_pixels with the hand-structured trace adjoint."""
     seed = rng.pixel_seed(px.astype(jnp.uint32), py.astype(jnp.uint32))
     fx = px.astype(jnp.float32)
@@ -292,7 +393,7 @@ def render_pixels_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig,
         v = (fy + j2b * 1.1) * inv_h
         ro, rd, sd = get_ray(cam, u, v, sd)
         (r, g, b), sd = trace_adjoint(scene, ro, rd, sd, cfg.depth,
-                                      cfg.t_min)
+                                      cfg.t_min, vis_w)
         return (acc_r + r, acc_g + g, acc_b + b, sd), None
 
     (acc_r, acc_g, acc_b, _), _ = jax.lax.scan(
@@ -303,13 +404,15 @@ def render_pixels_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig,
         _to_gamma(acc_b * inv_spp, cfg.gamma)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def render_golden_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def render_golden_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig,
+                          vis_w: float = 0.0):
     """Full-frame render whose backward uses the hand-structured adjoint.
 
     Forward values equal render_golden up to f32 reassociation; gradients
     equal jax.grad-of-golden (same detach policy) at O(P*depth) backward
-    cost instead of O(P*depth*N).
+    cost instead of O(P*depth*N).  ``vis_w > 0`` adds silhouette
+    gradients for geometry optimization (see trace_adjoint).
     """
     h, w = cfg.height, cfg.width
     n = h * w
@@ -320,7 +423,8 @@ def render_golden_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig):
     py = jnp.minimum(flat // w, h - 1)
 
     def do_chunk(xy):
-        r, g, b = render_pixels_adjoint(scene, cam, cfg, xy[0], xy[1])
+        r, g, b = render_pixels_adjoint(scene, cam, cfg, xy[0], xy[1],
+                                        vis_w)
         return jnp.stack([r, g, b], axis=-1)
 
     chunks = jax.lax.map(

@@ -76,14 +76,15 @@ def hit_world(scene: Scene, ro, rd, t_min):
     ocy = roy[..., None] - cy
     ocz = roz[..., None] - cz
     a = _dot3(rdx, rdy, rdz, rdx, rdy, rdz)[..., None]
+    inv_a = 1.0 / a  # one divide per pixel; roots multiply (hot loop)
     half_b = ocx * rdx[..., None] + ocy * rdy[..., None] + ocz * rdz[..., None]
     c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - rad * rad
     disc = half_b * half_b - a * c
 
     has_root = disc >= 0
     sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
-    root1 = (-half_b - sqrtd) / a
-    root2 = (-half_b + sqrtd) / a
+    root1 = (-half_b - sqrtd) * inv_a
+    root2 = (-half_b + sqrtd) * inv_a
     # accept near root if >= t_min (reference rejects root < t_min), else far
     near_ok = root1 >= t_min
     root = jnp.where(near_ok, root1, root2)

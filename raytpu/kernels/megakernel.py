@@ -171,6 +171,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
                 # -- closest hit over all spheres (hlsl:188-205), tracking
                 # the winner's attributes via predicated updates
                 a = _dot3(dx, dy, dz, dx, dy, dz)
+                inv_a = 1.0 / a  # hoisted: roots multiply in the hot loop
 
                 def sphere_body(j, hs):
                     (tb, h_cx, h_cy, h_cz, h_rad,
@@ -194,8 +195,8 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
                     disc = half_b * half_b - a * c
                     has_root = disc >= 0
                     sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
-                    root1 = (-half_b - sqrtd) / a
-                    root2 = (-half_b + sqrtd) / a
+                    root1 = (-half_b - sqrtd) * inv_a
+                    root2 = (-half_b + sqrtd) * inv_a
                     near_ok = root1 >= t_min
                     root = jnp.where(near_ok, root1, root2)
                     ok = has_root & (root >= t_min)

@@ -61,3 +61,68 @@ def test_gradients_match_autodiff_defocus_many_spheres():
         np.testing.assert_allclose(np.asarray(getattr(ga[0], k)),
                                    np.asarray(getattr(gg[0], k)),
                                    rtol=1e-4, atol=1e-8)
+
+
+def test_silhouette_gradients_match_fd_direction():
+    """vis_w > 0: the loss gradient gains the visibility term — its
+    directional derivative along a silhouette-crossing direction agrees
+    with finite differences (which interior-only gradients miss by ~400x).
+    """
+    cfg = RenderConfig(width=96, height=48, spp=4, depth=4)
+    scene_true = raytpu.make_scene([
+        ((0.0, -100.5, -1.0), 100.0, 0, (0.5, 0.5, 0.5), 0.0),
+        ((0.0, 0.0, -1.0), 0.5, 0, (0.7, 0.3, 0.3), 0.0),
+    ])
+    cam = raytpu.make_camera((0.0, 0.3, 1.5), (0.0, 0.0, -1.0), vfov=45.0,
+                             aspect=cfg.aspect, aperture=0.25,
+                             focus_dist=2.5)
+    target = adjoint.render_golden_adjoint(scene_true, cam, cfg)
+    scene0 = scene_true._replace(
+        center=scene_true.center.at[1].add(
+            jnp.asarray([0.12, 0.0, 0.08])))
+
+    def loss_w(center, w):
+        img = adjoint.render_golden_adjoint(
+            scene0._replace(center=center), cam, cfg, w)
+        return jnp.mean((img - target) ** 2)
+
+    d = scene_true.center[1] - scene0.center[1]
+    d = d / jnp.linalg.norm(d)
+
+    # FD of the (hard) loss along the recovery direction
+    eps = 1e-2
+    fd = (float(loss_w(scene0.center.at[1].add(eps * d), 0.0))
+          - float(loss_w(scene0.center.at[1].add(-eps * d), 0.0))) / (
+              2 * eps)
+
+    g_soft = jax.grad(lambda c: loss_w(c, 0.005))(scene0.center)
+    dd_soft = float(jnp.dot(g_soft[1], d))
+    g_hard = jax.grad(lambda c: loss_w(c, 0.0))(scene0.center)
+    dd_hard = float(jnp.dot(g_hard[1], d))
+
+    assert fd < -1e-3  # moving toward truth decreases the loss
+    # interior-only gradient misses the visibility term entirely
+    assert abs(dd_hard) < 0.1 * abs(fd)
+    # boundary-augmented gradient recovers it (sign + order of magnitude)
+    assert dd_soft < 0
+    assert 0.3 * abs(fd) < abs(dd_soft) < 3.0 * abs(fd)
+
+
+def test_position_recovery_with_silhouette_gradients():
+    """BASELINE config 3 (scaled down): defocus camera + gradient descent
+    on sphere positions recovers a perturbed center."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "inverse_render",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "examples", "inverse_render.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    cfg, scene_true, scene0, cam, target = m.make_problem()
+    err0 = float(jnp.linalg.norm(scene0.center[1] - scene_true.center[1]))
+    scene, losses = m.optimize(cfg, scene0, cam, target, steps=60)
+    err1 = float(jnp.linalg.norm(scene.center[1] - scene_true.center[1]))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+    assert err1 < 0.6 * err0, (err0, err1)
