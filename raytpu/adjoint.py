@@ -289,17 +289,21 @@ def _trace_bwd(depth, t_min, vis_w, saved, ct):
         (n_ro, n_rd, n_thr, g_gathered) = vjp(ct_out)
 
         gc, gr, ga, gp = g_gathered
-        # segment-sum as one-hot matmul: TPU scatter-add serializes, but
-        # (N, P) x (P, K) rides the MXU
+        # segment-sum as ONE one-hot product: TPU scatter-add serializes;
+        # a single (N, P) x (P, 8) contraction amortizes the P-reduction
+        # across every sphere attribute (profiling showed 4 separate
+        # products cost 4x the reduce time)
         n = scene.count
         oh = jax.nn.one_hot(idx.reshape(-1), n, dtype=jnp.float32,
                             axis=0)                       # (N, P)
-        g_center = g_center + oh @ gc.reshape(-1, 3)
-        g_albedo = g_albedo + oh @ ga.reshape(-1, 3)
-        g_rp = oh @ jnp.stack(
-            [gr.reshape(-1), gp.reshape(-1)], axis=-1)    # (N, 2)
-        g_radius = g_radius + g_rp[:, 0]
-        g_param = g_param + g_rp[:, 1]
+        k8 = jnp.concatenate([
+            gc.reshape(-1, 3), ga.reshape(-1, 3),
+            gr.reshape(-1, 1), gp.reshape(-1, 1)], axis=-1)   # (P, 8)
+        g8 = oh @ k8                                       # (N, 8)
+        g_center = g_center + g8[:, 0:3]
+        g_albedo = g_albedo + g8[:, 3:6]
+        g_radius = g_radius + g8[:, 6]
+        g_param = g_param + g8[:, 7]
 
         if vis_w > 0:
             # -- silhouette (boundary) gradients.  The soft-coverage
@@ -413,20 +417,62 @@ def render_golden_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig,
     equal jax.grad-of-golden (same detach policy) at O(P*depth) backward
     cost instead of O(P*depth*N).  ``vis_w > 0`` adds silhouette
     gradients for geometry optimization (see trace_adjoint).
+
+    In the "parallel" RNG mode spp folds into the ray batch (every
+    (pixel, sample) pair is an independent slot — no sequential seed
+    chain), removing the spp scan from both sweeps.
     """
     h, w = cfg.height, cfg.width
     n = h * w
-    chunk = min(cfg.chunk_pixels, n)
-    pad = (-n) % chunk
-    flat = jnp.arange(n + pad, dtype=jnp.int32)
-    px = flat % w
-    py = jnp.minimum(flat // w, h - 1)
+    if cfg.rng_mode != "parallel":
+        chunk = min(cfg.chunk_pixels, n)
+        pad = (-n) % chunk
+        flat = jnp.arange(n + pad, dtype=jnp.int32)
+        px = flat % w
+        py = jnp.minimum(flat // w, h - 1)
 
-    def do_chunk(xy):
-        r, g, b = render_pixels_adjoint(scene, cam, cfg, xy[0], xy[1],
-                                        vis_w)
+        def do_chunk(xy):
+            r, g, b = render_pixels_adjoint(scene, cam, cfg, xy[0], xy[1],
+                                            vis_w)
+            return jnp.stack([r, g, b], axis=-1)
+
+        chunks = jax.lax.map(
+            do_chunk, (px.reshape(-1, chunk), py.reshape(-1, chunk)))
+        return chunks.reshape(-1, 3)[:n].reshape(h, w, 3)
+
+    # -- parallel mode: one slot per (pixel, sample)
+    spp = cfg.spp
+    slots = n * spp
+    chunk = min(max(cfg.chunk_pixels, 131072), slots)
+    pad = (-slots) % chunk
+    slot = jnp.arange(slots + pad, dtype=jnp.int32)
+    pix = jnp.minimum(slot // spp, n - 1)
+    smp = (slot % spp).astype(jnp.uint32)
+    px = pix % w
+    py = pix // w
+    inv_w = jnp.float32(1.0 / (w - 1))
+    inv_h = jnp.float32(1.0 / (cfg.height - 1))
+
+    def do_chunk(args):
+        cpx, cpy, cs = args
+        sd = rng.fold_in(
+            rng.pixel_seed(cpx.astype(jnp.uint32),
+                           cpy.astype(jnp.uint32)), cs)
+        fx = cpx.astype(jnp.float32)
+        fy = cpy.astype(jnp.float32)
+        (j1a, _), sd = rng.hash2(sd)
+        (_, j2b), sd = rng.hash2(sd)
+        u = (fx + j1a * 1.1) * inv_w
+        v = (fy + j2b * 1.1) * inv_h
+        ro, rd, sd = get_ray(cam, u, v, sd)
+        (r, g, b), _ = trace_adjoint(scene, ro, rd, sd, cfg.depth,
+                                     cfg.t_min, vis_w)
         return jnp.stack([r, g, b], axis=-1)
 
-    chunks = jax.lax.map(
-        do_chunk, (px.reshape(-1, chunk), py.reshape(-1, chunk)))
-    return chunks.reshape(-1, 3)[:n].reshape(h, w, 3)
+    sums = jax.lax.map(
+        do_chunk,
+        (px.reshape(-1, chunk), py.reshape(-1, chunk),
+         smp.reshape(-1, chunk)))
+    lin = sums.reshape(-1, 3)[:slots].reshape(n, spp, 3)
+    lin = jnp.sum(lin, axis=1) * jnp.float32(1.0 / spp)
+    return _to_gamma(lin, cfg.gamma).reshape(h, w, 3)

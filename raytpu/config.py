@@ -20,6 +20,12 @@ class RenderConfig:
     t_min: float = 1e-3    # ray epsilon (ref: ShaderCompute.hlsl:262)
     gamma: float = 2.2     # output gamma (ref toGamma: ShaderCompute.hlsl:99-103)
     chunk_pixels: int = 16384  # pixels per golden-renderer chunk (memory bound)
+    # "sequential": one seed chained through a pixel's samples (the
+    # reference's inout-seed semantics, ShaderCompute.hlsl:304-310);
+    # "parallel": independent per-(pixel, sample) counter streams --
+    # samples are order-free, so spp folds into the batch dimension
+    # (faster gradients; recommended for production)
+    rng_mode: str = "sequential"
 
     @property
     def aspect(self) -> float:

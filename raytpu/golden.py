@@ -260,7 +260,7 @@ def trace(scene: Scene, ro, rd, seed, depth: int, t_min: float):
 
 
 def accumulate_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
-                      px, py, seed, spp: int, init=None):
+                      px, py, seed, spp: int, init=None, s0: int = 0):
     """Add ``spp`` LINEAR samples per pixel starting from carried RNG state.
 
     Returns ((sum_r, sum_g, sum_b), seed').  This is the real carried
@@ -270,6 +270,11 @@ def accumulate_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
     K batches of spp/K samples, threading ``seed`` AND the running sums
     (``init``), is bit-identical to one spp-sample render — the f32
     addition chain is sample-by-sample in both cases.
+
+    In the "parallel" RNG mode, ``seed`` is the per-pixel BASE state and
+    ``s0`` the global index of the first sample in this batch (each
+    sample's stream is ``fold_in(seed, s0 + i)``); the returned seed is
+    the unchanged base.
     """
     fx = px.astype(jnp.float32)
     fy = py.astype(jnp.float32)
@@ -278,19 +283,30 @@ def accumulate_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
     zero = fx * 0.0  # input-derived: see trace() varying-axis note
     if init is None:
         init = (zero, zero, zero)
+    parallel = cfg.rng_mode == "parallel"
 
-    def sample(carry, _):
-        acc_r, acc_g, acc_b, sd = carry
+    def one_sample(sd):
         (j1a, _), sd = rng.hash2(sd)
         (_, j2b), sd = rng.hash2(sd)
         u = (fx + j1a * 1.1) * inv_w
         v = (fy + j2b * 1.1) * inv_h
         ro, rd, sd = get_ray(cam, u, v, sd)
-        (r, g, b), sd = trace(scene, ro, rd, sd, cfg.depth, cfg.t_min)
-        return (acc_r + r, acc_g + g, acc_b + b, sd), None
+        return trace(scene, ro, rd, sd, cfg.depth, cfg.t_min)
+
+    def sample(carry, s):
+        acc_r, acc_g, acc_b, sd = carry
+        if parallel:
+            # independent per-(pixel, sample) stream: ``seed`` is the
+            # base (pixel seed + sample offset rides in s)
+            (r, g, b), _ = one_sample(rng.fold_in(sd, s))
+            sd_next = sd
+        else:
+            (r, g, b), sd_next = one_sample(sd)
+        return (acc_r + r, acc_g + g, acc_b + b, sd_next), None
 
     (acc_r, acc_g, acc_b, seed), _ = jax.lax.scan(
-        sample, (*init, seed), None, length=spp)
+        sample, (*init, seed),
+        jnp.arange(s0, s0 + spp, dtype=jnp.uint32))
     return (acc_r, acc_g, acc_b), seed
 
 

@@ -104,6 +104,7 @@ def _to_gamma(x, gamma):
 def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
     depth = cfg.depth
     spp = cfg.spp
+    parallel = cfg.rng_mode == "parallel"
     t_min = np.float32(cfg.t_min)
     inv_w = np.float32(1.0 / (cfg.width - 1))
     inv_h = np.float32(1.0 / (cfg.height - 1))
@@ -394,6 +395,9 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
 
         def sample_body(s, carry):
             acc_r, acc_g, acc_b, sd = carry
+            if parallel:
+                sd_base = sd
+                sd = rng.fold_in(sd, s)  # per-sample stream (golden parity)
             (j1a, _), sd = rng.hash2(sd)
             (_, j2b), sd = rng.hash2(sd)
             u = (fx + j1a * 1.1) * inv_w
@@ -415,6 +419,8 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
             dz = c_lz + u * c_hz + v * c_vz - oz
 
             r, g, b, sd = trace_one(ox, oy, oz, dx, dy, dz, sd)
+            if parallel:
+                sd = sd_base  # carry the base; next sample re-folds
             return acc_r + r, acc_g + g, acc_b + b, sd
 
         zero = jnp.zeros(shape, jnp.float32)

@@ -48,10 +48,10 @@ def init_state(cfg: RenderConfig) -> ProgressiveState:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 4))
-def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
-               state: ProgressiveState, spp: int) -> ProgressiveState:
-    """Add ``spp`` samples per pixel to the carried state."""
+@functools.partial(jax.jit, static_argnums=(2, 4, 5))
+def _accumulate_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
+                     state: ProgressiveState, spp: int,
+                     s0: int) -> ProgressiveState:
     h, w = cfg.height, cfg.width
     n = h * w
     chunk = min(cfg.chunk_pixels, n)
@@ -74,7 +74,8 @@ def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
         # previous sums seed the scan carry: the f32 addition chain is
         # identical to a single big render (bit-exact batching)
         (r, g, b), sd = golden.accumulate_pixels(
-            scene, cam, cfg, cpx, cpy, csd, spp, init=(ar, ag, ab))
+            scene, cam, cfg, cpx, cpy, csd, spp, init=(ar, ag, ab),
+            s0=s0)
         return jnp.stack([r, g, b], axis=-1), sd
 
     sums, seeds = jax.lax.map(
@@ -87,6 +88,17 @@ def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
     seed = seeds.reshape(-1)[:n].reshape(h, w)
     return ProgressiveState(acc=acc, seed=seed,
                             samples=state.samples + spp)
+
+
+def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
+               state: ProgressiveState, spp: int) -> ProgressiveState:
+    """Add ``spp`` samples per pixel to the carried state.
+
+    The global sample offset (for the parallel RNG mode) is taken from
+    ``state.samples`` on the host so batched accumulation draws fresh,
+    globally-indexed sample streams."""
+    return _accumulate_impl(scene, cam, cfg, state, spp,
+                            int(state.samples))
 
 
 def image(state: ProgressiveState, cfg: RenderConfig) -> jnp.ndarray:
@@ -106,17 +118,21 @@ def save_checkpoint(path: str, state: ProgressiveState,
         seed=np.asarray(state.seed),
         samples=np.asarray(state.samples),
         config=np.array([cfg.width, cfg.height, cfg.spp, cfg.depth,
-                         cfg.chunk_pixels], np.int64),
+                         cfg.chunk_pixels,
+                         1 if cfg.rng_mode == "parallel" else 0], np.int64),
         config_f=np.array([cfg.t_min, cfg.gamma], np.float64),
     )
 
 
 def load_checkpoint(path: str) -> tuple[ProgressiveState, RenderConfig]:
     z = np.load(path)
-    w, h, spp, depth, chunk = (int(v) for v in z["config"])
+    cvals = [int(v) for v in z["config"]]
+    w, h, spp, depth, chunk = cvals[:5]
+    par = bool(cvals[5]) if len(cvals) > 5 else False
     t_min, gamma = (float(v) for v in z["config_f"])
     cfg = RenderConfig(width=w, height=h, spp=spp, depth=depth,
-                       t_min=t_min, gamma=gamma, chunk_pixels=chunk)
+                       t_min=t_min, gamma=gamma, chunk_pixels=chunk,
+                       rng_mode="parallel" if par else "sequential")
     state = ProgressiveState(
         acc=jnp.asarray(z["acc"]),
         seed=jnp.asarray(z["seed"]),

@@ -79,6 +79,21 @@ def pixel_seed(px, py):
     return base_hash(px, py)
 
 
+_FOLD = np.uint32(0xBB67AE85)  # sqrt(3) frac: distinct from the Weyl step
+
+
+def fold_in(state, k):
+    """Derive an independent stream from ``state`` and integer ``k``.
+
+    Used by the "parallel" RNG mode to give every (pixel, sample) pair
+    its own counter stream — samples become order-independent, so spp
+    folds into the batch dimension (no sequential seed chain).  The fold
+    constant differs from the draw increment so sample streams never
+    alias a draw-advanced sequential stream."""
+    k = jnp.asarray(k).astype(jnp.uint32)
+    return fmix32(state.astype(jnp.uint32) + (k + np.uint32(1)) * _FOLD)
+
+
 def _draw(state):
     """One state advance: Weyl step + finalize. Returns (u32 draw, state')."""
     state = state.astype(jnp.uint32) + _WEYL

@@ -75,3 +75,23 @@ def test_generator_interface(tmp_path):
     resumed = list(progressive.render_progressive(
         scene, cam, CFG, batch=4, checkpoint_path=path, resume=True))
     assert resumed == []
+
+
+def test_parallel_mode_batching_bit_exact():
+    """Parallel RNG mode: globally-indexed sample streams make batched
+    accumulation bit-exact too (s0 offsets, not carried seeds)."""
+    cfg = CFG.replace(rng_mode="parallel")
+    scene, cam = _scene_cam()
+
+    one = progressive.init_state(cfg)
+    one = progressive.accumulate(scene, cam, cfg, one, 6)
+
+    state = progressive.init_state(cfg)
+    for step in (2, 3, 1):
+        state = progressive.accumulate(scene, cam, cfg, state, step)
+    np.testing.assert_array_equal(np.asarray(state.acc),
+                                  np.asarray(one.acc))
+
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    np.testing.assert_allclose(
+        np.asarray(progressive.image(state, cfg)), want, atol=2e-7)
