@@ -1,0 +1,547 @@
+"""Fused Pallas VJP kernel — the hand-derived backward at kernel speed.
+
+The XLA adjoint (raytpu/adjoint.py) is correct but HBM-bound: residuals
+and carries round-trip main memory every scan step (~330 ms fwd+bwd on
+config 2).  This kernel keeps the ENTIRE reverse sweep in VMEM, per
+(8, 128) pixel tile:
+
+  PASS 1  forward all spp samples (no stores) -> per-pixel linear sums
+          -> in-kernel cotangent of the gamma'd mean:
+          d_acc = ct * (1/gamma) * img^(1-gamma) / spp
+  PASS 2  per sample: re-run the forward storing per-bounce residuals in
+          VMEM scratch (ray state, throughput, winner index, masks,
+          seed), then walk the bounces in REVERSE, differentiating the
+          per-bounce continuous math via jax.vjp *inside the kernel*
+          (elementwise ops — Mosaic lowers the transposed graph), and
+          accumulating:
+          - sphere-parameter cotangents into a (16, N) VMEM accumulator
+            via a predicated per-sphere reduction;
+          - camera cotangent SUMS (18 scalars) from the bounce-0 ray
+            cotangents.
+
+Counter-based RNG makes replay free: PASS 2 recomputes every random draw
+from the stored pre-bounce states — nothing random is stored.
+
+Grid accumulation: all tiles add into the same (16, N) / (1, 24) output
+blocks (grid steps are sequential on a TensorCore; the first tile
+initializes).  The host assembles the Camera-pytree cotangent from the
+18 sums (raygen transpose, including the thin-lens offset terms).
+
+Discrete-event policy identical to adjoint.py: closest-hit selection,
+branch bits and RNG draws are detached; vis_w silhouette terms are NOT
+implemented here (use the XLA adjoint for geometry optimization).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu import rng
+from raytpu.camera import Camera
+from raytpu.config import RenderConfig
+from raytpu.scene import Scene
+from raytpu.kernels.megakernel import (
+    _TILE_H, _TILE_W, _INF, _dot3, _normalize3, _reflect, _refract,
+    _schlick, _sky, _pack_camera, _pack_scene,
+)
+
+
+def _bounce_f(ro, rd, thr, attrs, masks, sd, t_min):
+    """Per-bounce continuous math vs the pre-selected sphere (the Pallas
+    twin of adjoint._bounce_math, SoA scalars).  Differentiable in
+    (ro, rd, thr, attrs); masks/draws are detached."""
+    ox, oy, oz = ro
+    dx, dy, dz = rd
+    cr, cg, cb = thr
+    (s_cx, s_cy, s_cz, s_rad, s_mt, s_ar, s_ag, s_ab, s_mp) = attrs
+    scat, missed = masks
+
+    ocx = ox - s_cx
+    ocy = oy - s_cy
+    ocz = oz - s_cz
+    a = _dot3(dx, dy, dz, dx, dy, dz)
+    half_b = ocx * dx + ocy * dy + ocz * dz
+    c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - s_rad * s_rad
+    disc = half_b * half_b - a * c
+    sqrtd = jnp.sqrt(jnp.maximum(disc, np.float32(1e-20)))
+    inv_a = 1.0 / a
+    root1 = (-half_b - sqrtd) * inv_a
+    root2 = (-half_b + sqrtd) * inv_a
+    near_ok = jax.lax.stop_gradient(root1 >= t_min)
+    t = jnp.where(near_ok, root1, root2)
+    t = jnp.where(jax.lax.stop_gradient(scat), t, 1.0)
+
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    inv_r = 1.0 / jnp.where(s_rad == 0, 1.0, s_rad)
+    nx = (px - s_cx) * inv_r
+    ny = (py - s_cy) * inv_r
+    nz = (pz - s_cz) * inv_r
+    front = jax.lax.stop_gradient(_dot3(dx, dy, dz, nx, ny, nz) < 0)
+    sgn = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+    (sx, sy, sz), _ = rng.random_in_unit_sphere(sd)
+    h1, _ = rng.hash1(sd)
+    sx = jax.lax.stop_gradient(sx)
+    sy = jax.lax.stop_gradient(sy)
+    sz = jax.lax.stop_gradient(sz)
+    h1 = jax.lax.stop_gradient(h1)
+
+    ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+    rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
+    mdx, mdy, mdz = _normalize3(rx + s_mp * sx, ry + s_mp * sy,
+                                rz + s_mp * sz)
+
+    is_glass = s_mt == 2.0
+    ior = jnp.where(is_glass, jnp.maximum(s_mp, 1e-3), 1.5)
+    ux, uy, uz = _normalize3(dx, dy, dz)
+    ratio = jnp.where(front, 1.0 / ior, ior)
+    cosine = jnp.minimum(_dot3(-ux, -uy, -uz, nx, ny, nz), 1.0)
+    sine = jnp.sqrt(jnp.maximum(1.0 - cosine * cosine, 0.0))
+    cannot = ratio * sine > 1.0
+    use_reflect = jax.lax.stop_gradient(
+        cannot | (_schlick(cosine, ratio) > h1))
+    rfx, rfy, rfz = _reflect(ux, uy, uz, nx, ny, nz)
+    tx, ty, tz = _refract(ux, uy, uz, nx, ny, nz, ratio)
+    gdx = jnp.where(use_reflect, rfx, tx)
+    gdy = jnp.where(use_reflect, rfy, ty)
+    gdz = jnp.where(use_reflect, rfz, tz)
+
+    is_d = s_mt == 0.0
+    is_m = s_mt == 1.0
+    atr = jnp.where(is_glass, 1.0, s_ar)
+    atg = jnp.where(is_glass, 1.0, s_ag)
+    atb = jnp.where(is_glass, 1.0, s_ab)
+    odx = jnp.where(is_d, ddx, jnp.where(is_m, mdx, gdx))
+    ody = jnp.where(is_d, ddy, jnp.where(is_m, mdy, gdy))
+    odz = jnp.where(is_d, ddz, jnp.where(is_m, mdz, gdz))
+
+    skr, skg, skb = _sky(dx, dy, dz)
+    out_r = jnp.where(missed, cr * skr, 0.0)
+    out_g = jnp.where(missed, cg * skg, 0.0)
+    out_b = jnp.where(missed, cb * skb, 0.0)
+
+    n_cr = jnp.where(scat, cr * atr, cr)
+    n_cg = jnp.where(scat, cg * atg, cg)
+    n_cb = jnp.where(scat, cb * atb, cb)
+    n_ox = jnp.where(scat, px, ox)
+    n_oy = jnp.where(scat, py, oy)
+    n_oz = jnp.where(scat, pz, oz)
+    n_dx = jnp.where(scat, odx, dx)
+    n_dy = jnp.where(scat, ody, dy)
+    n_dz = jnp.where(scat, odz, dz)
+
+    return ((n_ox, n_oy, n_oz), (n_dx, n_dy, n_dz),
+            (n_cr, n_cg, n_cb), (out_r, out_g, out_b))
+
+
+# residual plane layout in the per-sample scratch (depth, NRES, 8, 128)
+_R_OX, _R_OY, _R_OZ, _R_DX, _R_DY, _R_DZ = 0, 1, 2, 3, 4, 5
+_R_CR, _R_CG, _R_CB, _R_IDX, _R_SCAT, _R_MISS, _R_SEED = 6, 7, 8, 9, 10, 11, 12
+_NRES = 13
+_NCAM_SUMS = 18
+
+
+def _make_grad_kernel(cfg: RenderConfig, n_spheres: int):
+    depth = cfg.depth
+    spp = cfg.spp
+    parallel = cfg.rng_mode == "parallel"
+    t_min = np.float32(cfg.t_min)
+    inv_w = np.float32(1.0 / (cfg.width - 1))
+    inv_h = np.float32(1.0 / (cfg.height - 1))
+    inv_spp = np.float32(1.0 / spp)
+    gamma = np.float32(cfg.gamma)
+
+    def kernel(cam_ref, sc_ref, ctr_ref, ctg_ref, ctb_ref,
+               r_ref, g_ref, b_ref, gsc_ref, gcam_ref,
+               res_ref, seeds_ref, gsc_acc, gcam_acc):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        first = (ti == 0) & (tj == 0)
+        last = (ti == pl.num_programs(0) - 1) & (tj == pl.num_programs(1) - 1)
+        shape = (_TILE_H, _TILE_W)
+        row0 = cam_ref[23].astype(jnp.int32)
+        py = (row0 + ti * _TILE_H
+              + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+        px = (tj * _TILE_W
+              + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        seed0 = rng.pixel_seed(px.astype(jnp.uint32), py.astype(jnp.uint32))
+        fx = px.astype(jnp.float32)
+        fy = py.astype(jnp.float32)
+        zero = jnp.zeros(shape, jnp.float32)
+        one = zero + 1.0
+
+        def cam3(i):
+            return cam_ref[i], cam_ref[i + 1], cam_ref[i + 2]
+
+        c_ox, c_oy, c_oz = cam3(0)
+        c_hx, c_hy, c_hz = cam3(3)
+        c_vx, c_vy, c_vz = cam3(6)
+        c_lx, c_ly, c_lz = cam3(9)
+        c_ux, c_uy, c_uz = cam3(12)
+        c_wx, c_wy, c_wz = cam3(15)
+        lens_r = cam_ref[18]
+        defocus = lens_r > 0
+        dyn_depth = cam_ref[19].astype(jnp.int32)
+        dyn_spp = cam_ref[20].astype(jnp.int32)
+        dyn_nsph = cam_ref[21].astype(jnp.int32)
+
+        # accumulate in SMEM SCRATCH (persists across sequential grid
+        # steps); the output blocks are written once, at the last tile
+        @pl.when(first)
+        def _():
+            def z_body(j, _):
+                for k in range(16):
+                    gsc_acc[k, j] = 0.0
+                return 0
+            jax.lax.fori_loop(0, gsc_acc.shape[1], z_body, 0)
+            for i in range(32):
+                gcam_acc[0, i] = 0.0
+
+        def gen_ray(sd):
+            """Jitter + raygen; returns (ray, u, v, lens draws, seed')."""
+            (j1a, _), sd = rng.hash2(sd)
+            (_, j2b), sd = rng.hash2(sd)
+            u = (fx + j1a * 1.1) * inv_w
+            v = (fy + j2b * 1.1) * inv_h
+            (ldx, ldy), sd_lens = rng.random_in_unit_disk(sd)
+            sd = jnp.where(defocus, sd_lens, sd)
+            rlx = lens_r * ldx
+            rly = lens_r * ldy
+            offx = jnp.where(defocus, c_ux * rlx + c_wx * rly, 0.0)
+            offy = jnp.where(defocus, c_uy * rlx + c_wy * rly, 0.0)
+            offz = jnp.where(defocus, c_uz * rlx + c_wz * rly, 0.0)
+            ox = c_ox + offx
+            oy = c_oy + offy
+            oz = c_oz + offz
+            dx = c_lx + u * c_hx + v * c_vx - ox
+            dy = c_ly + u * c_hy + v * c_vy - oy
+            dz = c_lz + u * c_hz + v * c_vz - oz
+            return (ox, oy, oz, dx, dy, dz), u, v, (ldx, ldy), sd
+
+        def closest_hit(ox, oy, oz, dx, dy, dz):
+            """Brute-force sweep -> (idx f32, hit_any, mat f32)."""
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+
+            def body(j, hs):
+                tb, bi = hs
+                s_cx = sc_ref[0, j]
+                s_cy = sc_ref[1, j]
+                s_cz = sc_ref[2, j]
+                s_rad = sc_ref[3, j]
+                ocx = ox - s_cx
+                ocy = oy - s_cy
+                ocz = oz - s_cz
+                half_b = ocx * dx + ocy * dy + ocz * dz
+                c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                     - s_rad * s_rad)
+                disc = half_b * half_b - a * c
+                has_root = disc >= 0
+                sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+                root1 = (-half_b - sqrtd) * inv_a
+                root2 = (-half_b + sqrtd) * inv_a
+                near_ok = root1 >= t_min
+                root = jnp.where(near_ok, root1, root2)
+                ok = has_root & (root >= t_min)
+                t_j = jnp.where(ok, root, _INF)
+                win = t_j < tb
+                return (jnp.where(win, t_j, tb),
+                        jnp.where(win, j.astype(jnp.float32), bi))
+
+            tb, bi = jax.lax.fori_loop(
+                0, dyn_nsph, body, (zero + _INF, zero))
+            return bi, tb < _INF
+
+        def gather_attrs(idx_f):
+            """Predicated gather of the 9 sphere attributes by index."""
+            def body(j, acc):
+                m = idx_f == j.astype(jnp.float32)
+                return tuple(
+                    jnp.where(m, sc_ref[k, j], acc[k]) for k in range(9))
+
+            init = tuple(zero for _ in range(9))
+            return jax.lax.fori_loop(0, dyn_nsph, body, init)
+
+        def fwd_sample(sd, store):
+            """One sample's forward; optionally stores residuals."""
+            ray, u, v, lens, sd = gen_ray(sd)
+            ox, oy, oz, dx, dy, dz = ray
+
+            def cond(st):
+                return (st[0] < dyn_depth) & (jnp.max(st[13]) > 0)
+
+            def body(st):
+                (d, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+                 alive_f, sd_t) = st
+                alive = alive_f > 0
+                idx_f, hit_any = closest_hit(ox, oy, oz, dx, dy, dz)
+                attrs = gather_attrs(idx_f)
+                mt = attrs[4]
+                ok = (mt == 0.0) | (mt == 1.0) | (mt == 2.0)
+                scat = alive & hit_any & ok
+                missed = alive & ~hit_any
+                if store:
+                    res_ref[d, _R_OX] = ox
+                    res_ref[d, _R_OY] = oy
+                    res_ref[d, _R_OZ] = oz
+                    res_ref[d, _R_DX] = dx
+                    res_ref[d, _R_DY] = dy
+                    res_ref[d, _R_DZ] = dz
+                    res_ref[d, _R_CR] = cr
+                    res_ref[d, _R_CG] = cg
+                    res_ref[d, _R_CB] = cb
+                    res_ref[d, _R_IDX] = idx_f
+                    res_ref[d, _R_SCAT] = jnp.where(scat, 1.0, 0.0)
+                    res_ref[d, _R_MISS] = jnp.where(missed, 1.0, 0.0)
+                    res_ref[d, _R_SEED] = pltpu.bitcast(sd_t, jnp.float32)
+                n_ro, n_rd, n_thr, out = _bounce_f(
+                    (ox, oy, oz), (dx, dy, dz), (cr, cg, cb), attrs,
+                    (scat, missed), sd_t, t_min)
+                _, sd_new = rng.random_in_unit_sphere(sd_t)
+                rr = rr + out[0]
+                rg = rg + out[1]
+                rb = rb + out[2]
+                sd_t = jnp.where(scat, sd_new, sd_t)
+                # survivors are exactly the scattering lanes (missed ->
+                # sky, hit-with-unknown-material -> absorbed)
+                alive_f = jnp.where(scat, 1.0, 0.0)
+                return (d + 1, *n_ro, *n_rd, *n_thr, rr, rg, rb,
+                        alive_f, sd_t)
+
+            st = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                  one, one, one, zero, zero, zero, one, sd)
+            if store:
+                # clear the mask planes for depths the early exit skips
+                # (their other planes hold the previous sample's finite
+                # values; the tile-start full clear handles boot garbage)
+                def clr(d, _):
+                    res_ref[d, _R_SCAT] = zero
+                    res_ref[d, _R_MISS] = zero
+                    return 0
+                jax.lax.fori_loop(0, dyn_depth, clr, 0)
+            st = jax.lax.while_loop(cond, body, st)
+            return (st[10], st[11], st[12]), st[14], (u, v, lens)
+
+        # scratch boots as GARBAGE on hardware: inf/NaN at skipped depths
+        # would poison the reverse sweep through 0 * inf in the where
+        # transposes.  Benign defaults: unit direction, everything else 0.
+        def full_clr(d, _):
+            for k in range(_NRES):
+                res_ref[d, k] = one if k == _R_DZ else zero
+            return 0
+
+        jax.lax.fori_loop(0, dyn_depth, full_clr, 0)
+
+        # ---- PASS 1: forward all samples -> linear sums
+        def p1_body(s, carry):
+            acc_r, acc_g, acc_b, sd = carry
+            if parallel:
+                sd_s = rng.fold_in(sd, s)
+                seeds_ref[s] = pltpu.bitcast(sd_s, jnp.float32)
+                (r, g, b), _, _ = fwd_sample(sd_s, False)
+                sd_out = sd
+            else:
+                seeds_ref[s] = pltpu.bitcast(sd, jnp.float32)
+                (r, g, b), sd_out, _ = fwd_sample(sd, False)
+            return acc_r + r, acc_g + g, acc_b + b, sd_out
+
+        acc_r, acc_g, acc_b, _ = jax.lax.fori_loop(
+            0, dyn_spp, p1_body, (zero, zero, zero, seed0))
+
+        def to_gamma(x):
+            safe = jnp.where(x > 0, x, 1.0)
+            return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
+
+        img_r = to_gamma(acc_r * inv_spp)
+        img_g = to_gamma(acc_g * inv_spp)
+        img_b = to_gamma(acc_b * inv_spp)
+        r_ref[:, :] = img_r
+        g_ref[:, :] = img_g
+        b_ref[:, :] = img_b
+
+        # cotangent of the linear per-sample radiance:
+        # d img/d acc = (1/gamma) * img^(1-gamma) / spp  (0 where acc<=0)
+        def dacc(img, ct):
+            d = jnp.where(
+                img > 0,
+                jnp.exp(jnp.log(jnp.where(img > 0, img, 1.0))
+                        * (1.0 - gamma)) / gamma,
+                0.0)
+            return ct * d * inv_spp
+
+        dacc_r = dacc(img_r, ctr_ref[:, :])
+        dacc_g = dacc(img_g, ctg_ref[:, :])
+        dacc_b = dacc(img_b, ctb_ref[:, :])
+
+        # ---- PASS 2: per sample, re-forward with stores then reverse
+        def p2_body(s, cam_sums):
+            sd_s = pltpu.bitcast(seeds_ref[s], jnp.uint32)
+            _, _, (u, v, (ldx, ldy)) = fwd_sample(sd_s, True)
+
+            def rev_body(k, carry):
+                d = dyn_depth - 1 - k
+                (d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,
+                 d_cr, d_cg, d_cb) = carry
+                ox = res_ref[d, _R_OX]
+                oy = res_ref[d, _R_OY]
+                oz = res_ref[d, _R_OZ]
+                dx = res_ref[d, _R_DX]
+                dy = res_ref[d, _R_DY]
+                dz = res_ref[d, _R_DZ]
+                cr = res_ref[d, _R_CR]
+                cg = res_ref[d, _R_CG]
+                cb = res_ref[d, _R_CB]
+                idx_f = res_ref[d, _R_IDX]
+                scat = res_ref[d, _R_SCAT] > 0
+                missed = res_ref[d, _R_MISS] > 0
+                sd_t = pltpu.bitcast(res_ref[d, _R_SEED], jnp.uint32)
+                attrs = gather_attrs(idx_f)
+
+                def f(ro, rd, thr, attrs):
+                    return _bounce_f(ro, rd, thr, attrs,
+                                     (scat, missed), sd_t, t_min)
+
+                _, vjp = jax.vjp(f, (ox, oy, oz), (dx, dy, dz),
+                                 (cr, cg, cb), attrs)
+                (n_ro, n_rd, n_thr, g_attrs) = vjp(
+                    ((d_ox, d_oy, d_oz), (d_dx, d_dy, d_dz),
+                     (d_cr, d_cg, d_cb), (dacc_r, dacc_g, dacc_b)))
+
+                # scatter attr cotangents into the (16, N) accumulator
+                def sph_body(j, _):
+                    m = jnp.where(idx_f == j.astype(jnp.float32), 1.0, 0.0)
+                    for k in range(9):
+                        gsc_acc[k, j] += jnp.sum(m * g_attrs[k])
+                    return 0
+
+                jax.lax.fori_loop(0, dyn_nsph, sph_body, 0)
+                return (*n_ro, *n_rd, *n_thr)
+
+            carry = tuple(zero for _ in range(9))
+            carry = jax.lax.fori_loop(0, dyn_depth, rev_body, carry)
+            (d_ox, d_oy, d_oz, d_dx, d_dy, d_dz, _, _, _) = carry
+
+            # effective origin cotangent: the ray dir d = L + uH + vV - o
+            # consumes o with weight -1, so everything the ORIGIN node
+            # feeds (c_origin and the lens offset) sees d_o - d_d
+            eo_x = d_ox - d_dx
+            eo_y = d_oy - d_dy
+            eo_z = d_oz - d_dz
+
+            # raygen cotangent sums (assembled on the host)
+            sums = (
+                jnp.sum(eo_x), jnp.sum(eo_y), jnp.sum(eo_z),
+                jnp.sum(d_dx), jnp.sum(d_dy), jnp.sum(d_dz),
+                jnp.sum(u * d_dx), jnp.sum(u * d_dy), jnp.sum(u * d_dz),
+                jnp.sum(v * d_dx), jnp.sum(v * d_dy), jnp.sum(v * d_dz),
+                jnp.sum(ldx * eo_x), jnp.sum(ldx * eo_y),
+                jnp.sum(ldx * eo_z),
+                jnp.sum(ldy * eo_x), jnp.sum(ldy * eo_y),
+                jnp.sum(ldy * eo_z),
+            )
+            return tuple(a + b for a, b in zip(cam_sums, sums))
+
+        cam_sums = jax.lax.fori_loop(
+            0, dyn_spp, p2_body,
+            tuple(jnp.float32(0.0) for _ in range(_NCAM_SUMS)))
+        for i in range(_NCAM_SUMS):
+            gcam_acc[0, i] += cam_sums[i]
+
+        @pl.when(last)
+        def _():
+            def cp_body(j, _):
+                for k in range(16):
+                    gsc_ref[k, j] = gsc_acc[k, j]
+                return 0
+            jax.lax.fori_loop(0, gsc_acc.shape[1], cp_body, 0)
+            for i in range(32):
+                gcam_ref[0, i] = gcam_acc[0, i]
+
+    return kernel
+
+
+def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
+                      interpret: bool | None = None):
+    """Fused image + VJP -> (img, d_scene, d_camera) for image cotangent
+    ``ct`` (H, W, 3).  Brute-force intersection (no BVH) in this kernel.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    h, w = cfg.height, cfg.width
+    hp = -(-h // _TILE_H) * _TILE_H
+    wp = -(-w // _TILE_W) * _TILE_W
+    grid = (hp // _TILE_H, wp // _TILE_W)
+    n = scene.count
+
+    ct = jnp.asarray(ct, jnp.float32)
+    ct_pad = jnp.zeros((hp, wp, 3), jnp.float32).at[:h, :w].set(ct)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    n_pad = max(-(-n // 128) * 128, 128)
+    # gradient outputs in SMEM (Mosaic forbids scalar stores to VMEM),
+    # written once at the final grid step from the scratch accumulators
+    acc_sc = pl.BlockSpec((16, n_pad), lambda i, j: (0, 0),
+                          memory_space=pltpu.SMEM)
+    acc_cam = pl.BlockSpec((1, 32), lambda i, j: (0, 0),
+                           memory_space=pltpu.SMEM)
+    out_plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+
+    kernel = _make_grad_kernel(cfg, n)
+    r, g, b, gsc, gcam = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(out_plane, out_plane, out_plane,
+                   jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 32), jnp.float32)),
+        in_specs=[smem, smem, plane, plane, plane],
+        out_specs=(plane, plane, plane, acc_sc, acc_cam),
+        scratch_shapes=[
+            pltpu.VMEM((cfg.depth, _NRES, _TILE_H, _TILE_W), jnp.float32),
+            pltpu.VMEM((cfg.spp, _TILE_H, _TILE_W), jnp.float32),
+            pltpu.SMEM((16, n_pad), jnp.float32),
+            pltpu.SMEM((1, 32), jnp.float32),
+        ],
+        interpret=interpret,
+    )(_pack_camera(cam, cfg, n, 0), _pack_scene(scene),
+      ct_pad[:, :, 0], ct_pad[:, :, 1], ct_pad[:, :, 2])
+
+    img = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
+    gsc = gsc[:, :n]
+    d_scene = Scene(
+        center=gsc[0:3].T, radius=gsc[3], mat_type=None,
+        albedo=gsc[5:8].T, mat_param=gsc[8],
+    )
+    # raygen transpose: assemble the Camera cotangent from the 18 sums
+    s = gcam[0]
+    sum_eo = s[0:3]        # effective origin cotangent (d_o - d_d)
+    sum_dd = s[3:6]
+    sum_udd = s[6:9]
+    sum_vdd = s[9:12]
+    sum_ldx_eo = s[12:15]
+    sum_ldy_eo = s[15:18]
+    lens_r = cam.lens_radius
+    # pinhole (lens_r == 0): the forward's where() never consumes the
+    # lens offset, so its cotangents are exactly zero
+    live = jnp.where(lens_r > 0, 1.0, 0.0)
+    d_cam = Camera(
+        origin=sum_eo,
+        horizontal=sum_udd,
+        vertical=sum_vdd,
+        lower_left=sum_dd,
+        u=live * lens_r * sum_ldx_eo,
+        v=live * lens_r * sum_ldy_eo,
+        lens_radius=live * (jnp.dot(cam.u, sum_ldx_eo)
+                            + jnp.dot(cam.v, sum_ldy_eo)),
+    )
+    return img, d_scene, d_cam

@@ -529,6 +529,16 @@ def _fwd(scene, cam, cfg, interpret):
 
 
 def _bwd(cfg, interpret, res, ct):
+    # compiled path: the fused Pallas VJP kernel (raytpu/kernels/
+    # gradkernel.py) - whole reverse sweep in VMEM.  Interpret mode keeps
+    # the XLA adjoint (the fused kernel's interpreter is far slower than
+    # compiled XLA on CPU test sizes).
+    if not interpret:
+        from raytpu.kernels import gradkernel
+        scene, cam = res
+        _, ds, dc = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
+                                                 interpret=False)
+        return ds, dc
     return _golden_bwd(cfg, res, ct)
 
 

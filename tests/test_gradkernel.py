@@ -1,0 +1,62 @@
+"""Fused Pallas VJP kernel (interpret mode) vs generic autodiff."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import raytpu
+from raytpu import golden
+from raytpu.kernels import gradkernel
+from raytpu.config import RenderConfig
+
+
+def _check(cfg, cam_kw, worst_allowed=1e-4):
+    scene = raytpu.test_world()
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect, **cam_kw)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    img_ref = golden.render_golden(scene, cam, cfg)
+    ct = 2.0 * (img_ref - target) / img_ref.size
+    img, ds, dc = gradkernel.render_pallas_vjp(scene, cam, cfg, ct)
+
+    def loss(s, c):
+        return jnp.mean((golden.render_golden(s, c, cfg) - target) ** 2)
+
+    gs, gc = jax.grad(loss, argnums=(0, 1), allow_int=True)(scene, cam)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                               atol=1e-5)
+    for k in ("center", "radius", "albedo", "mat_param"):
+        a, b = np.array(getattr(ds, k)), np.array(getattr(gs, k))
+        scale = max(np.abs(b).max(), 1e-8)
+        assert np.abs(a - b).max() / scale < worst_allowed, k
+    for k in ("origin", "horizontal", "vertical", "lower_left",
+              "u", "v", "lens_radius"):
+        a, b = np.array(getattr(dc, k)), np.array(getattr(gc, k))
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < worst_allowed, k
+
+
+def test_pinhole_sequential():
+    _check(RenderConfig(width=32, height=16, spp=2, depth=3), {})
+
+
+def test_defocus_sequential():
+    _check(RenderConfig(width=32, height=16, spp=2, depth=3),
+           dict(aperture=0.3, focus_dist=12.0))
+
+
+def test_pinhole_parallel():
+    _check(RenderConfig(width=32, height=16, spp=2, depth=3,
+                        rng_mode="parallel"), {})
+
+
+def test_defocus_parallel():
+    _check(RenderConfig(width=32, height=16, spp=3, depth=4,
+                        rng_mode="parallel"),
+           dict(aperture=0.2, focus_dist=10.0), worst_allowed=5e-4)
+
+
+def test_multi_tile_accumulation():
+    """Grid > 1 tile in both dims: the scratch accumulator must span
+    every grid step."""
+    _check(RenderConfig(width=200, height=24, spp=1, depth=2), {})
