@@ -150,7 +150,8 @@ _NRES = 13
 _NCAM_SUMS = 18
 
 
-def _make_grad_kernel(cfg: RenderConfig, n_spheres: int):
+def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
+                      n_nodes: int = 0):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -160,9 +161,15 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int):
     inv_spp = np.float32(1.0 / spp)
     gamma = np.float32(cfg.gamma)
 
-    def kernel(cam_ref, sc_ref, ctr_ref, ctg_ref, ctb_ref,
-               r_ref, g_ref, b_ref, gsc_ref, gcam_ref,
-               res_ref, seeds_ref, gsc_acc, gcam_acc):
+    def kernel(cam_ref, sc_ref, *rest):
+        if n_nodes:
+            (nd_ref, ctr_ref, ctg_ref, ctb_ref,
+             r_ref, g_ref, b_ref, gsc_ref, gcam_ref,
+             res_ref, seeds_ref, gsc_acc, gcam_acc) = rest
+        else:
+            (ctr_ref, ctg_ref, ctb_ref,
+             r_ref, g_ref, b_ref, gsc_ref, gcam_ref,
+             res_ref, seeds_ref, gsc_acc, gcam_acc) = rest
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         first = (ti == 0) & (tj == 0)
@@ -193,6 +200,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int):
         dyn_depth = cam_ref[19].astype(jnp.int32)
         dyn_spp = cam_ref[20].astype(jnp.int32)
         dyn_nsph = cam_ref[21].astype(jnp.int32)
+        dyn_nodes = cam_ref[22].astype(jnp.int32)
 
         # accumulate in SMEM SCRATCH (persists across sequential grid
         # steps); the output blocks are written once, at the last tile
@@ -257,8 +265,49 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int):
                 return (jnp.where(win, t_j, tb),
                         jnp.where(win, j.astype(jnp.float32), bi))
 
-            tb, bi = jax.lax.fori_loop(
-                0, dyn_nsph, body, (zero + _INF, zero))
+            if not n_nodes:
+                tb, bi = jax.lax.fori_loop(
+                    0, dyn_nsph, body, (zero + _INF, zero))
+                return bi, tb < _INF
+
+            # tile-coherent skip-pointer traversal (see megakernel)
+            inv_dx = 1.0 / dx
+            inv_dy = 1.0 / dy
+            inv_dz = 1.0 / dz
+
+            def t_cond(ts):
+                return ts[0] < dyn_nodes
+
+            def t_body(ts):
+                node, tb, bi = ts
+                t1 = (nd_ref[0, node] - ox) * inv_dx
+                t2 = (nd_ref[3, node] - ox) * inv_dx
+                t3 = (nd_ref[1, node] - oy) * inv_dy
+                t4 = (nd_ref[4, node] - oy) * inv_dy
+                t5 = (nd_ref[2, node] - oz) * inv_dz
+                t6 = (nd_ref[5, node] - oz) * inv_dz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1, t2),
+                                jnp.minimum(t3, t4)),
+                    jnp.maximum(jnp.minimum(t5, t6), t_min))
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1, t2),
+                                jnp.maximum(t3, t4)),
+                    jnp.minimum(jnp.maximum(t5, t6), tb))
+                boxhit = ~(tnear > tfar)
+                anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
+                start = nd_ref[6, node].astype(jnp.int32)
+                count = nd_ref[7, node].astype(jnp.int32)
+                skip = nd_ref[8, node].astype(jnp.int32)
+                count_eff = jnp.where(anyhit, count, 0)
+                tb, bi = jax.lax.fori_loop(
+                    start, start + count_eff, body, (tb, bi))
+                node_next = jnp.where(anyhit & (count == 0),
+                                      node + 1, skip)
+                return node_next, tb, bi
+
+            _, tb, bi = jax.lax.while_loop(
+                t_cond, t_body, (jnp.int32(0), zero + _INF, zero))
             return bi, tb < _INF
 
         def gather_attrs(idx_f):
@@ -470,9 +519,10 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int):
 
 
 def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None, bvh=None):
     """Fused image + VJP -> (img, d_scene, d_camera) for image cotangent
-    ``ct`` (H, W, 3).  Brute-force intersection (no BVH) in this kernel.
+    ``ct`` (H, W, 3).  Pass a BVH to accelerate large scenes (the
+    returned d_scene is in the ORIGINAL sphere order).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -481,6 +531,13 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     wp = -(-w // _TILE_W) * _TILE_W
     grid = (hp // _TILE_H, wp // _TILE_W)
     n = scene.count
+    perm_i = None
+    if bvh is not None:
+        from raytpu.bvh import permute_scene
+        perm_i = bvh.perm.astype(jnp.int32)
+        scene_k = permute_scene(scene, bvh.perm)
+    else:
+        scene_k = scene
 
     ct = jnp.asarray(ct, jnp.float32)
     ct_pad = jnp.zeros((hp, wp, 3), jnp.float32).at[:h, :w].set(ct)
@@ -497,14 +554,22 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                            memory_space=pltpu.SMEM)
     out_plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
 
-    kernel = _make_grad_kernel(cfg, n)
+    m = 0 if bvh is None else bvh.nodes.shape[0]
+    kernel = _make_grad_kernel(cfg, n, n_nodes=m)
+    operands = [_pack_camera(cam, cfg, n, m), _pack_scene(scene_k)]
+    in_specs = [smem, smem]
+    if bvh is not None:
+        operands.append(bvh.nodes.T.astype(jnp.float32))
+        in_specs.append(smem)
+    operands += [ct_pad[:, :, 0], ct_pad[:, :, 1], ct_pad[:, :, 2]]
+    in_specs += [plane, plane, plane]
     r, g, b, gsc, gcam = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(out_plane, out_plane, out_plane,
                    jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, 32), jnp.float32)),
-        in_specs=[smem, smem, plane, plane, plane],
+        in_specs=in_specs,
         out_specs=(plane, plane, plane, acc_sc, acc_cam),
         scratch_shapes=[
             pltpu.VMEM((cfg.depth, _NRES, _TILE_H, _TILE_W), jnp.float32),
@@ -513,11 +578,13 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
             pltpu.SMEM((1, 32), jnp.float32),
         ],
         interpret=interpret,
-    )(_pack_camera(cam, cfg, n, 0), _pack_scene(scene),
-      ct_pad[:, :, 0], ct_pad[:, :, 1], ct_pad[:, :, 2])
+    )(*operands)
 
     img = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
     gsc = gsc[:, :n]
+    if perm_i is not None:
+        # cotangents are in BVH leaf order: scatter back to input order
+        gsc = jnp.zeros_like(gsc).at[:, perm_i].set(gsc)
     d_scene = Scene(
         center=gsc[0:3].T, radius=gsc[3], mat_type=None,
         albedo=gsc[5:8].T, mat_param=gsc[8],

@@ -558,7 +558,14 @@ def _fwd_bvh(scene, cam, nodes, perm, cfg, interpret):
 
 def _bwd_bvh(cfg, interpret, res, ct):
     scene, cam, nodes, perm = res
-    ds, dc = _golden_bwd(cfg, (scene, cam), ct)
+    if not interpret:
+        from raytpu.bvh import BVH
+        from raytpu.kernels import gradkernel
+        _, ds, dc = gradkernel.render_pallas_vjp(
+            scene, cam, cfg, ct, interpret=False,
+            bvh=BVH(nodes=nodes, perm=perm))
+    else:
+        ds, dc = _golden_bwd(cfg, (scene, cam), ct)
     # BVH geometry is derived data: no cotangent (all-f32 by design)
     return ds, dc, jnp.zeros_like(nodes), jnp.zeros_like(perm)
 

@@ -60,3 +60,29 @@ def test_multi_tile_accumulation():
     """Grid > 1 tile in both dims: the scratch accumulator must span
     every grid step."""
     _check(RenderConfig(width=200, height=24, spp=1, depth=2), {})
+
+
+def test_bvh_path_matches_autodiff():
+    """BVH traversal in the fused VJP kernel: gradients return in the
+    ORIGINAL sphere order and match autodiff."""
+    from raytpu import bvh as bvh_mod
+    cfg = RenderConfig(width=64, height=16, spp=1, depth=3)
+    scene = raytpu.random_world(seed=3, half_extent=3)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    img_ref = golden.render_golden(scene, cam, cfg)
+    ct = 2.0 * (img_ref - target) / img_ref.size
+    b = bvh_mod.build_bvh(scene, leaf_size=4)
+    img, ds, dc = gradkernel.render_pallas_vjp(scene, cam, cfg, ct, bvh=b)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img_ref),
+                               atol=1e-5)
+
+    def loss(s, c):
+        return jnp.mean((golden.render_golden(s, c, cfg) - target) ** 2)
+
+    gs, _ = jax.grad(loss, argnums=(0, 1), allow_int=True)(scene, cam)
+    for k in ("center", "radius", "albedo", "mat_param"):
+        a, bb = np.array(getattr(ds, k)), np.array(getattr(gs, k))
+        scale = max(np.abs(bb).max(), 1e-8)
+        assert np.abs(a - bb).max() / scale < 1e-4, k
