@@ -466,13 +466,27 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                      (d_cr, d_cg, d_cb), (dacc_r, dacc_g, dacc_b)))
 
                 # scatter attr cotangents into the (16, N) accumulator
-                def sph_body(j, _):
-                    m = jnp.where(idx_f == j.astype(jnp.float32), 1.0, 0.0)
+                # by EXTRACTING unique winner indices one at a time: the
+                # iteration count is the number of distinct spheres this
+                # tile-bounce actually hit (usually << N; a fixed sweep
+                # over all N spheres made large-scene backward 14x the
+                # forward cost).
+                def u_cond(st):
+                    return jnp.max(st[0]) >= 0
+
+                def u_body(st):
+                    rem = st[0]
+                    cur = jnp.max(rem)
+                    m = jnp.where(idx_f == cur, 1.0, 0.0) * jnp.where(
+                        rem >= 0, 1.0, 0.0)
+                    j = cur.astype(jnp.int32)
                     for k in range(9):
                         gsc_acc[k, j] += jnp.sum(m * g_attrs[k])
-                    return 0
+                    rem = jnp.where(idx_f == cur, -1.0, rem)
+                    return (rem,)
 
-                jax.lax.fori_loop(0, dyn_nsph, sph_body, 0)
+                rem0 = jnp.where(scat, idx_f, -1.0)
+                jax.lax.while_loop(u_cond, u_body, (rem0,))
                 return (*n_ro, *n_rd, *n_thr)
 
             carry = tuple(zero for _ in range(9))
