@@ -533,14 +533,19 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
 
 def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
-                      interpret: bool | None = None, bvh=None):
+                      interpret: bool | None = None, bvh=None,
+                      row0=0, rows=None, vma=None):
     """Fused image + VJP -> (img, d_scene, d_camera) for image cotangent
-    ``ct`` (H, W, 3).  Pass a BVH to accelerate large scenes (the
-    returned d_scene is in the ORIGINAL sphere order).
+    ``ct``.  Pass a BVH to accelerate large scenes (the returned d_scene
+    is in the ORIGINAL sphere order).
+
+    ``(row0, rows)`` restrict to a row slab of the cfg-sized frame (for
+    sharded execution; ``ct`` must then be the slab's (rows, W, 3)
+    cotangent); ``vma`` declares varying mesh axes under shard_map.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    h, w = cfg.height, cfg.width
+    h, w = (rows if rows is not None else cfg.height), cfg.width
     hp = -(-h // _TILE_H) * _TILE_H
     wp = -(-w // _TILE_W) * _TILE_W
     grid = (hp // _TILE_H, wp // _TILE_W)
@@ -566,11 +571,18 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                           memory_space=pltpu.SMEM)
     acc_cam = pl.BlockSpec((1, 32), lambda i, j: (0, 0),
                            memory_space=pltpu.SMEM)
-    out_plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+
+    def _shp(shape):
+        if vma is None:
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
+        return jax.ShapeDtypeStruct(shape, jnp.float32,
+                                    vma=frozenset(vma))
+
+    out_plane = _shp((hp, wp))
 
     m = 0 if bvh is None else bvh.nodes.shape[0]
     kernel = _make_grad_kernel(cfg, n, n_nodes=m)
-    operands = [_pack_camera(cam, cfg, n, m), _pack_scene(scene_k)]
+    operands = [_pack_camera(cam, cfg, n, m, row0), _pack_scene(scene_k)]
     in_specs = [smem, smem]
     if bvh is not None:
         operands.append(bvh.nodes.T.astype(jnp.float32))
@@ -581,8 +593,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         kernel,
         grid=grid,
         out_shape=(out_plane, out_plane, out_plane,
-                   jax.ShapeDtypeStruct((16, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 32), jnp.float32)),
+                   _shp((16, n_pad)), _shp((1, 32))),
         in_specs=in_specs,
         out_specs=(plane, plane, plane, acc_sc, acc_cam),
         scratch_shapes=[

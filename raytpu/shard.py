@@ -122,6 +122,76 @@ def render_sharded_pallas(scene: Scene, cam: Camera, cfg: RenderConfig, *,
     return img[:cfg.height]
 
 
+def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
+                           lr: float = 1e-2, bvh=None,
+                           interpret: bool | None = None):
+    """Pod-scale train step on the Pallas kernels: each device renders
+    its row slab with the forward megakernel, back-propagates the MSE
+    cotangent through the fused VJP kernel (raytpu/kernels/gradkernel),
+    and the scene/camera gradients are psum'd over the mesh.
+
+    step(scene, cam, target) -> (scene', cam', loss) like
+    :func:`make_train_step`, at kernel speed per chip.
+    """
+    from raytpu.kernels import megakernel, gradkernel
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n_shards = mesh.devices.size
+    th = megakernel._TILE_H
+    slab = -(-cfg.height // (th * n_shards)) * th
+    h_pad = slab * n_shards
+    w = cfg.width
+    inv_m = 1.0 / (cfg.height * w * 3)
+    nodes = None if bvh is None else bvh.nodes
+    perm = None if bvh is None else bvh.perm
+
+    def shard_fn(scene, cam, target_slab):
+        row0 = jax.lax.axis_index(AXIS) * slab
+        img = megakernel._render_pallas_fwd_impl(
+            scene, cam, cfg, interpret, nodes, perm,
+            row0=row0, rows=slab)                       # (slab, w, 3)
+        # rows beyond the real image carry no loss
+        valid = ((row0 + jnp.arange(slab)) < cfg.height)[:, None, None]
+        diff = jnp.where(valid, img - target_slab, 0.0)
+        loss = jax.lax.psum(jnp.sum(diff * diff) * inv_m, AXIS)
+        ct = 2.0 * diff * inv_m
+        _, ds, dc = gradkernel.render_pallas_vjp(
+            scene, cam, cfg, ct, interpret=interpret, bvh=bvh,
+            row0=row0, rows=slab)
+        ds = jax.lax.psum(ds._replace(mat_type=jnp.zeros(())), AXIS)
+        dc = jax.lax.psum(dc, AXIS)
+        return loss, ds, dc
+
+    @jax.jit
+    def step(scene: Scene, cam: Camera, target):
+        tgt = jnp.zeros((h_pad, w, 3), jnp.float32).at[:cfg.height].set(
+            jnp.asarray(target, jnp.float32))
+        loss, ds, dc = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(AXIS)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(scene, cam, tgt)
+
+        scene = scene._replace(
+            center=scene.center - lr * ds.center,
+            radius=scene.radius - lr * ds.radius,
+            albedo=scene.albedo - lr * ds.albedo,
+            mat_param=scene.mat_param - lr * ds.mat_param,
+        )
+        cam = cam._replace(
+            origin=cam.origin - lr * dc.origin,
+            horizontal=cam.horizontal - lr * dc.horizontal,
+            vertical=cam.vertical - lr * dc.vertical,
+            lower_left=cam.lower_left - lr * dc.lower_left,
+        )
+        return scene, cam, loss
+
+    return step
+
+
 def make_train_step(cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2):
     """Build a jitted inverse-rendering train step over ``mesh``.
 
