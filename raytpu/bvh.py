@@ -135,7 +135,9 @@ def closest_hit_numpy(bvh_nodes: np.ndarray, centers: np.ndarray,
         t2 = (b[3:6] - ro) * inv
         tnear = max(np.minimum(t1, t2).max(), t_min)
         tfar = min(np.maximum(t1, t2).min(), best_t)
-        hit_box = tnear <= tfar
+        # NaN (origin on a padded face) counts as a hit, exactly like the
+        # kernels' conservative ~(tnear > tfar)
+        hit_box = not (tnear > tfar)
         start, count, skip = int(b[6]), int(b[7]), int(b[8])
         if hit_box and count > 0:
             for i in range(start, start + count):

@@ -51,7 +51,7 @@ def cmd_render(args) -> int:
     from raytpu.config import RenderConfig
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
-                       depth=args.depth)
+                       depth=args.depth, rng_mode=args.rng_mode)
     scene = _build_scene(args.scene, args.seed)
     cam = _build_camera(args, cfg.aspect)
 
@@ -61,6 +61,10 @@ def cmd_render(args) -> int:
         bvh = build_bvh(scene)
 
     if args.progressive:
+        if args.bvh or args.backend == "pallas":
+            raise SystemExit(
+                "--progressive renders through the golden accumulation "
+                "path; --bvh/--backend pallas are not supported with it")
         from raytpu import progressive
         last = None
         for state, img in progressive.render_progressive(
@@ -159,6 +163,10 @@ def main(argv=None) -> int:
     r.add_argument("--focus-dist", type=float, default=None)
     r.add_argument("--backend", choices=("auto", "golden", "pallas"),
                    default="auto")
+    r.add_argument("--rng-mode", choices=("sequential", "parallel"),
+                   default="sequential",
+                   help="sequential = reference-parity seed chain; "
+                        "parallel = per-sample streams (faster grads)")
     r.add_argument("--bvh", action="store_true",
                    help="build + use a BVH (pallas backend)")
     r.add_argument("--progressive", type=int, default=0, metavar="BATCH",

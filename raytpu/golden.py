@@ -306,7 +306,7 @@ def accumulate_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
 
     (acc_r, acc_g, acc_b, seed), _ = jax.lax.scan(
         sample, (*init, seed),
-        jnp.arange(s0, s0 + spp, dtype=jnp.uint32))
+        jnp.arange(spp, dtype=jnp.uint32) + jnp.uint32(s0))
     return (acc_r, acc_g, acc_b), seed
 
 

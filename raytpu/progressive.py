@@ -48,10 +48,10 @@ def init_state(cfg: RenderConfig) -> ProgressiveState:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(2, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 4))
 def _accumulate_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
                      state: ProgressiveState, spp: int,
-                     s0: int) -> ProgressiveState:
+                     s0) -> ProgressiveState:
     h, w = cfg.height, cfg.width
     n = h * w
     chunk = min(cfg.chunk_pixels, n)
@@ -98,7 +98,7 @@ def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
     ``state.samples`` on the host so batched accumulation draws fresh,
     globally-indexed sample streams."""
     return _accumulate_impl(scene, cam, cfg, state, spp,
-                            int(state.samples))
+                            jnp.uint32(int(state.samples)))
 
 
 def image(state: ProgressiveState, cfg: RenderConfig) -> jnp.ndarray:
@@ -150,7 +150,11 @@ def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
     every batch and resumes from ``checkpoint_path``.
     """
     if resume and checkpoint_path:
-        state, _ = load_checkpoint(checkpoint_path)
+        state, saved_cfg = load_checkpoint(checkpoint_path)
+        if saved_cfg.replace(spp=cfg.spp) != cfg:
+            raise ValueError(
+                f"checkpoint config {saved_cfg} does not match render "
+                f"config {cfg}; resuming would mix rendering semantics")
     else:
         state = init_state(cfg)
     while int(state.samples) < cfg.spp:

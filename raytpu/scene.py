@@ -140,29 +140,3 @@ def final_world(seed: int = 0, n: int = 500) -> Scene:
         albedo = tuple(rg.random(3) * rg.random(3))
         spheres.append((center, 0.2, DIFFUSE, albedo, 0.0))
     return make_scene(spheres[:n])
-
-
-def pad_scene(scene: Scene, multiple: int = 128) -> Scene:
-    """Pad sphere count to a lane-aligned multiple for Pallas kernels.
-
-    Padding spheres have radius 0 at a far-away center, and a *negative*
-    radius-squared is not representable, so they can never be hit: the
-    discriminant ``half_b^2 - a*c`` with ``c = |oc|^2 - 0`` stays negative
-    for any origin away from the pad center (we place them at 1e9).
-    """
-    n = scene.count
-    padded = -(-n // multiple) * multiple
-    if padded == n:
-        return scene
-    pad = padded - n
-    return Scene(
-        center=jnp.concatenate(
-            [scene.center, jnp.full((pad, 3), 1e9, jnp.float32)]),
-        radius=jnp.concatenate([scene.radius, jnp.zeros((pad,), jnp.float32)]),
-        mat_type=jnp.concatenate(
-            [scene.mat_type, jnp.zeros((pad,), jnp.int32)]),
-        albedo=jnp.concatenate(
-            [scene.albedo, jnp.zeros((pad, 3), jnp.float32)]),
-        mat_param=jnp.concatenate(
-            [scene.mat_param, jnp.zeros((pad,), jnp.float32)]),
-    )

@@ -51,8 +51,10 @@ def _flat_pixel_ids(cfg: RenderConfig, n_shards: int):
     work. Pad pixels re-render pixel (0, h-1) and are sliced off."""
     h, w = cfg.height, cfg.width
     n = h * w
-    chunk = min(cfg.chunk_pixels, max(1, n // n_shards))
     per = -(-n // n_shards)
+    # align to the chunk render_flat will recompute for this length
+    # (min with per itself so the aligned length stays chunk-divisible)
+    chunk = min(cfg.chunk_pixels, per)
     per = -(-per // chunk) * chunk
     total = per * n_shards
     flat = jnp.arange(total, dtype=jnp.int32)
