@@ -76,7 +76,11 @@ def _bounce_math(ro, rd, thr, gathered, mat, seed, masks, t_min):
     half_b = ocx * dx + ocy * dy + ocz * dz
     c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - radius * radius
     disc = half_b * half_b - a * c
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 1e-20))
+    # value: EXACTLY hit_world's select (bit-parity with the oracle);
+    # gradient: from the 1e-20-clamped branch (d sqrt blows up at 0)
+    sqrt_safe = jnp.sqrt(jnp.maximum(disc, 1e-20))
+    sqrt_exact = jnp.sqrt(jnp.where(disc >= 0, disc, 1.0))
+    sqrtd = sqrt_safe + jax.lax.stop_gradient(sqrt_exact - sqrt_safe)
     inv_a = 1.0 / a
     root1 = (-half_b - sqrtd) * inv_a
     root2 = (-half_b + sqrtd) * inv_a
