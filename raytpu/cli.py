@@ -61,15 +61,19 @@ def cmd_render(args) -> int:
         bvh = build_bvh(scene)
 
     if args.progressive:
-        if args.bvh or args.backend == "pallas":
-            raise SystemExit(
-                "--progressive renders through the golden accumulation "
-                "path; --bvh/--backend pallas are not supported with it")
+        import jax
         from raytpu import progressive
+        backend = args.backend
+        if backend == "auto":
+            backend = ("pallas" if jax.devices()[0].platform == "tpu"
+                       else "golden")
+        if args.bvh and backend != "pallas":
+            raise SystemExit("--bvh requires the pallas backend")
         last = None
         for state, img in progressive.render_progressive(
                 scene, cam, cfg, batch=args.progressive,
-                checkpoint_path=args.checkpoint, resume=args.resume):
+                checkpoint_path=args.checkpoint, resume=args.resume,
+                backend=backend, bvh=bvh):
             print(f"samples {int(state.samples)}/{cfg.spp}",
                   file=sys.stderr)
             last = img

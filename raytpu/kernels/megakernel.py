@@ -101,7 +101,8 @@ def _to_gamma(x, gamma):
     return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
 
 
-def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
+def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
+                 carry_state: bool = False):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -113,7 +114,10 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
 
     def kernel(cam_ref, sc_ref, *rest):
         if n_nodes:
-            nd_ref, r_ref, g_ref, b_ref = rest
+            nd_ref, *rest = rest
+        if carry_state:
+            (accr_in, accg_in, accb_in, seed_in,
+             r_ref, g_ref, b_ref, seed_out) = rest
         else:
             r_ref, g_ref, b_ref = rest
         ti = pl.program_id(0)
@@ -126,7 +130,12 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
               + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
         px = (tj * _TILE_W
               + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
-        seed = rng.pixel_seed(px.astype(jnp.uint32), py.astype(jnp.uint32))
+        if carry_state and not parallel:
+            # sequential progressive: resume each pixel's seed chain
+            seed = pltpu.bitcast(seed_in[:, :], jnp.uint32)
+        else:
+            seed = rng.pixel_seed(px.astype(jnp.uint32),
+                                  py.astype(jnp.uint32))
         fx = px.astype(jnp.float32)
         fy = py.astype(jnp.float32)
 
@@ -151,6 +160,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
                    else cam_ref[20].astype(jnp.int32))
         dyn_nsph = (n_spheres if "nsph" in _STATIC_BOUNDS
                     else cam_ref[21].astype(jnp.int32))
+        dyn_s0 = cam_ref[24].astype(jnp.uint32)  # parallel sample offset
 
         def trace_one(ox, oy, oz, dx, dy, dz, sd):
             """Bounce loop with whole-tile early exit (golden.trace)."""
@@ -397,7 +407,8 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
             acc_r, acc_g, acc_b, sd = carry
             if parallel:
                 sd_base = sd
-                sd = rng.fold_in(sd, s)  # per-sample stream (golden parity)
+                # per-sample stream; dyn_s0 = progressive batch offset
+                sd = rng.fold_in(sd, s.astype(jnp.uint32) + dyn_s0)
             (j1a, _), sd = rng.hash2(sd)
             (_, j2b), sd = rng.hash2(sd)
             u = (fx + j1a * 1.1) * inv_w
@@ -424,24 +435,37 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0):
             return acc_r + r, acc_g + g, acc_b + b, sd
 
         zero = jnp.zeros(shape, jnp.float32)
-        acc_r, acc_g, acc_b, _ = jax.lax.fori_loop(
-            0, dyn_spp, sample_body, (zero, zero, zero, seed))
+        if carry_state:
+            init = (accr_in[:, :], accg_in[:, :], accb_in[:, :], seed)
+        else:
+            init = (zero, zero, zero, seed)
+        acc_r, acc_g, acc_b, sd_end = jax.lax.fori_loop(
+            0, dyn_spp, sample_body, init)
 
-        r_ref[:, :] = _to_gamma(acc_r * inv_spp, gamma)
-        g_ref[:, :] = _to_gamma(acc_g * inv_spp, gamma)
-        b_ref[:, :] = _to_gamma(acc_b * inv_spp, gamma)
+        if carry_state:
+            # linear sums + final seed chain (progressive carried state)
+            r_ref[:, :] = acc_r
+            g_ref[:, :] = acc_g
+            b_ref[:, :] = acc_b
+            seed_out[:, :] = pltpu.bitcast(sd_end, jnp.float32)
+        else:
+            r_ref[:, :] = _to_gamma(acc_r * inv_spp, gamma)
+            g_ref[:, :] = _to_gamma(acc_g * inv_spp, gamma)
+            b_ref[:, :] = _to_gamma(acc_b * inv_spp, gamma)
 
     return kernel
 
 
 def _pack_camera(cam: Camera, cfg: RenderConfig, n_spheres: int,
-                 n_nodes: int, row0=0) -> jnp.ndarray:
+                 n_nodes: int, row0=0, spp=None, s0=0) -> jnp.ndarray:
     return jnp.concatenate([
         cam.origin, cam.horizontal, cam.vertical, cam.lower_left,
         cam.u, cam.v, cam.lens_radius[None],
-        jnp.asarray([cfg.depth, cfg.spp, n_spheres, n_nodes],
-                    jnp.float32),
+        jnp.asarray([cfg.depth, spp if spp is not None else cfg.spp,
+                     n_spheres, n_nodes], jnp.float32),
         jnp.asarray(row0, jnp.float32)[None],
+        jnp.asarray(s0, jnp.float32)[None],
+        jnp.zeros((3,), jnp.float32),
     ]).astype(jnp.float32)
 
 
@@ -571,6 +595,65 @@ def _bwd_bvh(cfg, interpret, res, ct):
 
 
 _render_pallas_bvh.defvjp(_fwd_bvh, _bwd_bvh)
+
+
+def accumulate_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
+                      acc, seed, samples0: int, spp: int,
+                      bvh=None, interpret: bool | None = None):
+    """One progressive batch through the megakernel -> (acc', seed').
+
+    ``acc`` (H, W, 3) linear sums and ``seed`` (H, W) u32 are the carried
+    state (raytpu/progressive.py); adds ``spp`` samples.  Sequential RNG
+    resumes each pixel's seed chain; parallel RNG derives sample streams
+    from ``samples0`` offsets (seed is passed through unchanged).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    h, w = cfg.height, cfg.width
+    hp = -(-h // _TILE_H) * _TILE_H
+    wp = -(-w // _TILE_W) * _TILE_W
+    grid = (hp // _TILE_H, wp // _TILE_W)
+    n = scene.count
+
+    acc = jnp.asarray(acc, jnp.float32)
+    acc_pad = jnp.zeros((hp, wp, 3), jnp.float32).at[:h, :w].set(acc)
+    seed_pad = jnp.zeros((hp, wp), jnp.uint32).at[:h, :w].set(
+        jnp.asarray(seed, jnp.uint32))
+    seed_f = jax.lax.bitcast_convert_type(seed_pad, jnp.float32)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+
+    if bvh is None:
+        kernel = _make_kernel(cfg, n, carry_state=True)
+        operands = [_pack_camera(cam, cfg, n, 0, spp=spp, s0=samples0),
+                    _pack_scene(scene)]
+        in_specs = [smem, smem]
+    else:
+        from raytpu.bvh import permute_scene
+        m = bvh.nodes.shape[0]
+        kernel = _make_kernel(cfg, n, n_nodes=m, carry_state=True)
+        operands = [_pack_camera(cam, cfg, n, m, spp=spp, s0=samples0),
+                    _pack_scene(permute_scene(scene, bvh.perm)),
+                    bvh.nodes.T.astype(jnp.float32)]
+        in_specs = [smem, smem, smem]
+    operands += [acc_pad[:, :, 0], acc_pad[:, :, 1], acc_pad[:, :, 2],
+                 seed_f]
+    in_specs += [plane, plane, plane, plane]
+
+    r, g, b, sd = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(out, out, out, out),
+        in_specs=in_specs,
+        out_specs=(plane, plane, plane, plane),
+        interpret=interpret,
+    )(*operands)
+    acc_new = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
+    seed_new = jax.lax.bitcast_convert_type(sd[:h, :w], jnp.uint32)
+    return acc_new, seed_new
 
 
 def render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,

@@ -91,12 +91,27 @@ def _accumulate_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
-               state: ProgressiveState, spp: int) -> ProgressiveState:
+               state: ProgressiveState, spp: int,
+               backend: str = "golden", bvh=None) -> ProgressiveState:
     """Add ``spp`` samples per pixel to the carried state.
 
     The global sample offset (for the parallel RNG mode) is taken from
     ``state.samples`` on the host so batched accumulation draws fresh,
-    globally-indexed sample streams."""
+    globally-indexed sample streams.  ``backend="pallas"`` runs the
+    batch through the megakernel's carry-state variant (optionally with
+    a BVH) — same carried-state semantics at kernel speed.
+    """
+    if backend == "pallas":
+        from raytpu.kernels import megakernel
+        # samples0 is traced (it rides a camera scalar) so every batch
+        # reuses one compilation
+        acc, seed = jax.jit(
+            megakernel.accumulate_pallas,
+            static_argnums=(2, 6),
+        )(scene, cam, cfg, state.acc, state.seed,
+          jnp.uint32(int(state.samples)), spp, bvh)
+        return ProgressiveState(acc=acc, seed=seed,
+                                samples=state.samples + spp)
     return _accumulate_impl(scene, cam, cfg, state, spp,
                             jnp.uint32(int(state.samples)))
 
@@ -143,11 +158,15 @@ def load_checkpoint(path: str) -> tuple[ProgressiveState, RenderConfig]:
 
 def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
                        batch: int = 8, checkpoint_path: str | None = None,
-                       resume: bool = False):
+                       resume: bool = False, backend: str = "golden",
+                       bvh=None):
     """Render ``cfg.spp`` samples in ``batch``-sized increments.
 
     Yields (state, image) after each batch; optionally checkpoints after
-    every batch and resumes from ``checkpoint_path``.
+    every batch and resumes from ``checkpoint_path``.  ``backend=
+    "pallas"`` accumulates through the megakernel (optionally with a
+    BVH) — carried state is bit-compatible with the golden path, so a
+    checkpoint can migrate between backends mid-render.
     """
     if resume and checkpoint_path:
         state, saved_cfg = load_checkpoint(checkpoint_path)
@@ -159,7 +178,8 @@ def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
         state = init_state(cfg)
     while int(state.samples) < cfg.spp:
         step = min(batch, cfg.spp - int(state.samples))
-        state = accumulate(scene, cam, cfg, state, step)
+        state = accumulate(scene, cam, cfg, state, step,
+                           backend=backend, bvh=bvh)
         if checkpoint_path:
             save_checkpoint(checkpoint_path, state, cfg)
         yield state, image(state, cfg)

@@ -95,3 +95,21 @@ def test_parallel_mode_batching_bit_exact():
     want = np.asarray(golden.render_golden(scene, cam, cfg))
     np.testing.assert_allclose(
         np.asarray(progressive.image(state, cfg)), want, atol=2e-7)
+
+
+def test_pallas_accumulate_matches_golden():
+    """Megakernel carry-state accumulation == golden path, bit-exact,
+    in both RNG modes (and one compilation across batches)."""
+    scene, cam = _scene_cam()
+    for mode in ("sequential", "parallel"):
+        cfg = CFG.replace(rng_mode=mode)
+        want = progressive.init_state(cfg)
+        got = progressive.init_state(cfg)
+        for step in (2, 3, 1):
+            want = progressive.accumulate(scene, cam, cfg, want, step)
+            got = progressive.accumulate(scene, cam, cfg, got, step,
+                                         backend="pallas")
+        np.testing.assert_array_equal(np.asarray(got.acc),
+                                      np.asarray(want.acc))
+        np.testing.assert_array_equal(np.asarray(got.seed),
+                                      np.asarray(want.seed))
