@@ -57,16 +57,39 @@ def _time_calls(fn, scene, aspect, iters=3):
     return sorted(ts)[len(ts) // 2]
 
 
+_FRAMES = 8  # frames per dispatch for sustained-throughput timing
+
+
+def _batch_frames(frame_fn, aspect):
+    """Wrap a per-frame scalar fn into one dispatch over _FRAMES distinct
+    cameras (sustained chip throughput; a single small frame is dominated
+    by per-dispatch latency on a remote-TPU link)."""
+    cams = jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[_cam(i, aspect) for i in range(_FRAMES)])
+
+    @jax.jit
+    def run(scene, cams):
+        def body(acc, cam):
+            return acc + frame_fn(scene, cam), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), cams)
+        return acc
+
+    return lambda scene, cam: run(scene, cams)
+
+
 def main():
     cfg = CONFIG2
     scene = raytpu.config2_world()
     backend = _backend("auto")
     rays = cfg.width * cfg.height * cfg.spp
 
-    # -- forward throughput (headline backend)
-    fwd = jax.jit(
-        lambda s, c: jnp.sum(render(s, c, cfg, backend=backend)))
-    t_fwd = _time_calls(fwd, scene, cfg.aspect)
+    # -- forward throughput (headline backend), _FRAMES frames/dispatch
+    def fwd_frame(s, c):
+        return jnp.sum(render(s, c, cfg, backend=backend))
+
+    fwd = _batch_frames(fwd_frame, cfg.aspect)
+    t_fwd = _time_calls(fwd, scene, cfg.aspect) / _FRAMES
     fwd_rays_s = rays / t_fwd
 
     # -- golden (XLA fallback) forward, for the backend-vs-backend delta
@@ -80,8 +103,7 @@ def main():
     # -- forward+backward throughput (golden-path autodiff)
     target = golden.render_golden(scene, _cam(0, cfg.aspect), cfg)
 
-    @jax.jit
-    def fwdbwd(s, c):
+    def fwdbwd_frame(s, c):
         def loss_fn(s, c):
             img = render(s, c, cfg, backend=backend)
             return jnp.mean((img - target) ** 2)
@@ -91,7 +113,8 @@ def main():
                   g[1].lower_left]
         return sum(jnp.sum(l) for l in leaves)
 
-    t_fb = _time_calls(fwdbwd, scene, cfg.aspect)
+    fwdbwd = _batch_frames(fwdbwd_frame, cfg.aspect)
+    t_fb = _time_calls(fwdbwd, scene, cfg.aspect) / _FRAMES
     fb_rays_s = rays / t_fb
 
     # -- gradient max-err vs central finite differences (probe pixels well
@@ -124,6 +147,7 @@ def main():
             "backend": backend,
             "platform": jax.devices()[0].platform,
             "config": "test_world 400x200 20spp depth12",
+            "frames_per_dispatch": _FRAMES,
             "fwd_ms": round(t_fwd * 1e3, 2),
             "golden_fwd_ms": round(t_fwd_g * 1e3, 2),
             "fwdbwd_rays_per_sec": round(fb_rays_s),
