@@ -46,7 +46,7 @@ class BVH(NamedTuple):
         return self.nodes.shape[0]
 
 
-def build_bvh(scene: Scene, leaf_size: int = 8, pad: float = 1e-4,
+def build_bvh(scene: Scene, leaf_size: int = 16, pad: float = 1e-4,
               use_native: bool = True) -> BVH:
     """Median-split BVH over the scene's spheres (host-side).
 
