@@ -99,3 +99,26 @@ def test_custom_vjp_matches_golden_grad():
     for a, b in pairs:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-8)
+
+
+def test_reference_v1_config_sqrt_gamma():
+    """v1 preset: 1 spp, depth 25, sqrt gamma (gamma=2.0), thin lens —
+    pallas == golden bitwise at reduced resolution."""
+    from raytpu.config import REFERENCE_V1
+    cfg = REFERENCE_V1.replace(width=64, height=48)
+    scene = raytpu.test_world()
+    cam = raytpu.reference_camera_v1()
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    got = np.asarray(megakernel.render_pallas(scene, cam, cfg))
+    np.testing.assert_array_equal(got, want)
+    assert np.isfinite(want).all()
+
+
+def test_reference_v2_depth50():
+    """Reference v2 depth (50) at tiny size: deep while-loop parity."""
+    cfg = RenderConfig(width=32, height=16, spp=2, depth=50)
+    scene = raytpu.test_world()
+    cam = _cam(cfg)
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    got = np.asarray(megakernel.render_pallas(scene, cam, cfg))
+    np.testing.assert_array_equal(got, want)
