@@ -239,8 +239,9 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             dz = c_lz + u * c_hz + v * c_vz - oz
             return (ox, oy, oz, dx, dy, dz), u, v, (ldx, ldy), sd
 
-        def closest_hit(ox, oy, oz, dx, dy, dz):
-            """Brute-force sweep -> (idx f32, hit_any, mat f32)."""
+        def closest_hit(ox, oy, oz, dx, dy, dz, alive):
+            """Closest-hit sweep -> (idx f32, hit_any); dead lanes are
+            culled from the traversal's any-hit reduce."""
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
 
@@ -298,7 +299,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     jnp.minimum(jnp.maximum(t1, t2),
                                 jnp.maximum(t3, t4)),
                     jnp.minimum(jnp.maximum(t5, t6), tb))
-                boxhit = ~(tnear > tfar)
+                boxhit = ~(tnear > tfar) & alive
                 anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
                 start = nd_ref[6, node].astype(jnp.int32)
                 count = nd_ref[7, node].astype(jnp.int32)
@@ -336,7 +337,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 (d, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
                  alive_f, sd_t) = st
                 alive = alive_f > 0
-                idx_f, hit_any = closest_hit(ox, oy, oz, dx, dy, dz)
+                idx_f, hit_any = closest_hit(ox, oy, oz, dx, dy, dz,
+                                             alive)
                 attrs = gather_attrs(idx_f)
                 mt = attrs[4]
                 ok = (mt == 0.0) | (mt == 1.0) | (mt == 2.0)
