@@ -61,21 +61,25 @@ _FRAMES = 8  # frames per dispatch for sustained-throughput timing
 
 
 def _batch_frames(frame_fn, aspect):
-    """Wrap a per-frame scalar fn into one dispatch over _FRAMES distinct
-    cameras (sustained chip throughput; a single small frame is dominated
-    by per-dispatch latency on a remote-TPU link)."""
-    cams = jax.tree.map(
-        lambda *xs: jnp.stack(xs),
-        *[_cam(i, aspect) for i in range(_FRAMES)])
+    """Wrap a per-frame scalar fn into one dispatch over _FRAMES frames
+    derived from the CALLER'S camera (sustained chip throughput; a single
+    small frame is dominated by per-dispatch latency on a remote-TPU
+    link).  Each frame perturbs the caller's camera by a distinct epsilon,
+    so every timed dispatch sees distinct inputs AND distinct frames —
+    no server-side result reuse (CLAUDE.md tunnel protocol)."""
 
     @jax.jit
-    def run(scene, cams):
-        def body(acc, cam):
-            return acc + frame_fn(scene, cam), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), cams)
+    def run(scene, cam):
+        def body(acc, k):
+            c = cam._replace(
+                lower_left=cam.lower_left.at[0].add(k * 1e-6))
+            return acc + frame_fn(scene, c), None
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0.0),
+            jnp.arange(_FRAMES, dtype=jnp.float32))
         return acc
 
-    return lambda scene, cam: run(scene, cams)
+    return run
 
 
 def main():

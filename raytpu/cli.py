@@ -57,6 +57,16 @@ def cmd_render(args) -> int:
 
     bvh = None
     if args.bvh:
+        import jax
+        backend = args.backend
+        if backend == "auto":
+            backend = ("pallas" if jax.devices()[0].platform == "tpu"
+                       else "golden")
+        if backend != "pallas":
+            # consistent on both paths: the golden oracle is brute-force
+            # by design, so a silently ignored --bvh would misreport what
+            # was measured (ADVICE round 1)
+            raise SystemExit("--bvh requires the pallas backend")
         from raytpu.bvh import build_bvh
         bvh = build_bvh(scene)
 
@@ -67,8 +77,6 @@ def cmd_render(args) -> int:
         if backend == "auto":
             backend = ("pallas" if jax.devices()[0].platform == "tpu"
                        else "golden")
-        if args.bvh and backend != "pallas":
-            raise SystemExit("--bvh requires the pallas backend")
         last = None
         for state, img in progressive.render_progressive(
                 scene, cam, cfg, batch=args.progressive,
