@@ -102,7 +102,7 @@ def _to_gamma(x, gamma):
 
 
 def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
-                 carry_state: bool = False):
+                 carry_state: bool = False, block_w: int = _TILE_W):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -111,6 +111,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
     inv_h = np.float32(1.0 / (cfg.height - 1))
     inv_spp = np.float32(1.0 / spp)
     gamma = cfg.gamma
+    block_h = (_TILE_H * _TILE_W) // block_w
 
     def kernel(cam_ref, sc_ref, *rest):
         if n_nodes:
@@ -126,10 +127,21 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
         # row0 (cam slot 23): absolute row of this kernel's first tile —
         # nonzero when a device renders one slab of a sharded frame
         row0 = cam_ref[23].astype(jnp.int32)
-        py = (row0 + ti * _TILE_H
-              + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
-        px = (tj * _TILE_W
-              + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        if block_w == _TILE_W:
+            py = (row0 + ti * _TILE_H
+                  + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+            px = (tj * _TILE_W
+                  + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        else:
+            # square-ish block tiling: this tile's 1024 lanes cover a
+            # (block_h x block_w) PIXEL BLOCK instead of an 8 x 128 image
+            # strip — the tile's view frustum shrinks ~(128/block_w)x
+            # horizontally, so the tile-coherent BVH walk culls far more
+            # (outputs are in block layout; the host unscrambles).
+            m = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * _TILE_W
+                 + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+            py = row0 + ti * block_h + m // block_w
+            px = tj * block_w + m % block_w
         if carry_state and not parallel:
             # sequential progressive: resume each pixel's seed chain
             seed = pltpu.bitcast(seed_in[:, :], jnp.uint32)
@@ -180,7 +192,11 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                 alive = alive_f > 0
 
                 # -- closest hit over all spheres (hlsl:188-205), tracking
-                # the winner's attributes via predicated updates
+                # the winner's attributes via predicated updates.  (A
+                # lean (t, idx)-only sweep + distinct-winner gather was
+                # measured SLOWER here: unsorted tiles have O(100)
+                # distinct winners and the serial extract loop dominates;
+                # the sorted wavefront kernel is where that trick pays.)
                 a = _dot3(dx, dy, dz, dx, dy, dz)
                 inv_a = 1.0 / a  # hoisted: roots multiply in the hot loop
 
@@ -481,29 +497,34 @@ def _pack_scene(scene: Scene) -> jnp.ndarray:
 
 def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
                             interpret: bool, nodes=None, perm=None,
-                            row0=0, rows=None, vma=None):
+                            row0=0, rows=None, vma=None, block_w=_TILE_W):
     """Render rows [row0, row0+rows) of the cfg-sized frame.
 
     ``rows=None`` renders the whole frame.  ``row0`` may be traced (it
     rides the camera scalar pack), so one compiled kernel serves every
     slab of a sharded frame.  ``vma`` declares the output's varying mesh
-    axes when called inside ``jax.shard_map``."""
+    axes when called inside ``jax.shard_map``.  ``block_w < 128`` maps
+    each tile to a square-ish (1024/block_w x block_w) pixel block
+    (better frustum coherence for BVH scenes); output pixels are
+    bit-identical (RNG seeds are absolute-coordinate)."""
     h, w = (rows if rows is not None else cfg.height), cfg.width
-    hp = -(-h // _TILE_H) * _TILE_H
-    wp = -(-w // _TILE_W) * _TILE_W
-    grid = (hp // _TILE_H, wp // _TILE_W)
+    block_h = (_TILE_H * _TILE_W) // block_w
+    hp = -(-h // block_h) * block_h
+    wp = -(-w // block_w) * block_w
+    grid = (hp // block_h, wp // block_w)
     n = scene.count
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = (grid[0] * _TILE_H, grid[1] * _TILE_W)
     if vma is None:
-        out = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+        out = jax.ShapeDtypeStruct(out_shape, jnp.float32)
     else:
-        out = jax.ShapeDtypeStruct((hp, wp), jnp.float32,
+        out = jax.ShapeDtypeStruct(out_shape, jnp.float32,
                                    vma=frozenset(vma))
     plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     if nodes is None:
-        kernel = _make_kernel(cfg, n)
+        kernel = _make_kernel(cfg, n, block_w=block_w)
         operands = (_pack_camera(cam, cfg, n, 0, row0), _pack_scene(scene))
         in_specs = [smem, smem]
     else:
@@ -511,7 +532,7 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
         # scalar row reads
         from raytpu.bvh import permute_scene
         m = nodes.shape[0]
-        kernel = _make_kernel(cfg, n, n_nodes=m)
+        kernel = _make_kernel(cfg, n, n_nodes=m, block_w=block_w)
         operands = (_pack_camera(cam, cfg, n, m, row0),
                     _pack_scene(permute_scene(scene, perm)),
                     nodes.T.astype(jnp.float32))
@@ -524,8 +545,21 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
         out_specs=(plane, plane, plane),
         interpret=interpret,
     )(*operands)
+    if block_w != _TILE_W:
+        r, g, b = (_unscramble(x, grid, block_h, block_w)
+                   for x in (r, g, b))
     img = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
     return img
+
+
+def _unscramble(x, grid, block_h, block_w):
+    """Tile-block layout -> image layout (pure reshape/transpose)."""
+    gi, gj = grid
+    return (x.reshape(gi, _TILE_H, gj, _TILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(gi, gj, block_h, block_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(gi * block_h, gj * block_w))
 
 
 def _golden_bwd(cfg, res, ct):
@@ -542,17 +576,19 @@ def _golden_bwd(cfg, res, ct):
     return ds, dc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
-                   interpret: bool):
-    return _render_pallas_fwd_impl(scene, cam, cfg, interpret)
+                   interpret: bool, block_w: int):
+    return _render_pallas_fwd_impl(scene, cam, cfg, interpret,
+                                   block_w=block_w)
 
 
-def _fwd(scene, cam, cfg, interpret):
-    return _render_pallas_fwd_impl(scene, cam, cfg, interpret), (scene, cam)
+def _fwd(scene, cam, cfg, interpret, block_w):
+    return _render_pallas_fwd_impl(scene, cam, cfg, interpret,
+                                   block_w=block_w), (scene, cam)
 
 
-def _bwd(cfg, interpret, res, ct):
+def _bwd(cfg, interpret, block_w, res, ct):
     # compiled path: the fused Pallas VJP kernel (raytpu/kernels/
     # gradkernel.py) - whole reverse sweep in VMEM.  Interpret mode keeps
     # the XLA adjoint (the fused kernel's interpreter is far slower than
@@ -569,18 +605,20 @@ def _bwd(cfg, interpret, res, ct):
 _render_pallas.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _render_pallas_bvh(scene: Scene, cam: Camera, nodes, perm,
-                       cfg: RenderConfig, interpret: bool):
-    return _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm)
+                       cfg: RenderConfig, interpret: bool, block_w: int):
+    return _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm,
+                                   block_w=block_w)
 
 
-def _fwd_bvh(scene, cam, nodes, perm, cfg, interpret):
-    img = _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm)
+def _fwd_bvh(scene, cam, nodes, perm, cfg, interpret, block_w):
+    img = _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm,
+                                  block_w=block_w)
     return img, (scene, cam, nodes, perm)
 
 
-def _bwd_bvh(cfg, interpret, res, ct):
+def _bwd_bvh(cfg, interpret, block_w, res, ct):
     scene, cam, nodes, perm = res
     if not interpret:
         from raytpu.bvh import BVH
@@ -657,17 +695,25 @@ def accumulate_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 def render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
-                  interpret: bool | None = None, bvh=None) -> jnp.ndarray:
+                  interpret: bool | None = None, bvh=None,
+                  block_w: int | None = None) -> jnp.ndarray:
     """Full-frame Pallas render -> (H, W, 3) f32 image in [0, 1].
 
     ``interpret=None`` auto-selects interpreter mode off-TPU so the same
     kernel logic is testable on the CPU mesh (SURVEY.md §4).  Pass a
     :class:`raytpu.bvh.BVH` to accelerate large scenes via tile-coherent
     traversal (build with ``raytpu.bvh.build_bvh(scene)``).
+
+    ``block_w`` sets the pixel-block shape a tile covers
+    (1024/block_w x block_w); ``None`` auto-selects 32 (square-ish
+    frustum) for BVH scenes and the plain 8 x 128 strip otherwise.
+    Output images are bit-identical across block shapes.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    if block_w is None:
+        block_w = 32 if bvh is not None else _TILE_W
     if bvh is None:
-        return _render_pallas(scene, cam, cfg, bool(interpret))
+        return _render_pallas(scene, cam, cfg, bool(interpret), block_w)
     return _render_pallas_bvh(scene, cam, bvh.nodes, bvh.perm,
-                              cfg, bool(interpret))
+                              cfg, bool(interpret), block_w)
