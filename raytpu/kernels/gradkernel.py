@@ -28,8 +28,10 @@ initializes).  The host assembles the Camera-pytree cotangent from the
 18 sums (raygen transpose, including the thin-lens offset terms).
 
 Discrete-event policy identical to adjoint.py: closest-hit selection,
-branch bits and RNG draws are detached; vis_w silhouette terms are NOT
-implemented here (use the XLA adjoint for geometry optimization).
+branch bits and RNG draws are detached.  ``vis_w > 0`` adds the same
+silhouette (boundary) gradient terms as the XLA adjoint — soft-coverage
+straight-through d(alpha) on both the hit side and the nearest
+near-miss sphere — so geometry optimization runs at kernel speed.
 """
 
 from __future__ import annotations
@@ -150,12 +152,19 @@ def _bounce_f(ro, rd, thr, attrs, masks, sd, t_min):
 # residual plane layout in the per-sample scratch (depth, NRES, 8, 128)
 _R_OX, _R_OY, _R_OZ, _R_DX, _R_DY, _R_DZ = 0, 1, 2, 3, 4, 5
 _R_CR, _R_CG, _R_CB, _R_IDX, _R_SCAT, _R_MISS, _R_SEED = 6, 7, 8, 9, 10, 11, 12
-_NRES = 13
+_R_ATTR0 = 13          # 9 winner-attribute planes (cx cy cz rad mt ar ag ab mp)
+_NRES = 22
 _NCAM_SUMS = 18
+# PASS-1 winner-index planes (spp x depth x tile) are stored only when
+# they fit this VMEM budget; beyond it PASS 2 falls back to re-running
+# the closest-hit sweep (REFERENCE_V2's 60 spp x depth 50 would need
+# 12 MB).
+_IDX_VMEM_BUDGET = 6 * 2**20
 
 
 def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
-                      n_nodes: int = 0):
+                      n_nodes: int = 0, store_idx: bool = True,
+                      vis_w: float = 0.0):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -166,10 +175,13 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
     gamma = np.float32(cfg.gamma)
 
     def kernel(cam_ref, sc_ref, *rest):
+        idx_ref = None
         if n_nodes:
-            (nd_ref, ctr_ref, ctg_ref, ctb_ref,
+            nd_ref, *rest = rest
+        if store_idx:
+            (ctr_ref, ctg_ref, ctb_ref,
              r_ref, g_ref, b_ref, gsc_ref, gcam_ref,
-             res_ref, seeds_ref, gsc_acc, gcam_acc) = rest
+             res_ref, seeds_ref, idx_ref, gsc_acc, gcam_acc) = rest
         else:
             (ctr_ref, ctg_ref, ctb_ref,
              r_ref, g_ref, b_ref, gsc_ref, gcam_ref,
@@ -240,17 +252,18 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             return (ox, oy, oz, dx, dy, dz), u, v, (ldx, ldy), sd
 
         def closest_hit(ox, oy, oz, dx, dy, dz, alive):
-            """Closest-hit sweep -> (idx f32, hit_any); dead lanes are
-            culled from the traversal's any-hit reduce."""
+            """Closest-hit sweep -> (idx f32, hit_any, attrs9); the
+            winner's 9 attributes are tracked by predicated updates (no
+            O(N) gather); dead lanes are culled from the traversal's
+            any-hit reduce."""
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
 
             def body(j, hs):
-                tb, bi = hs
-                s_cx = sc_ref[0, j]
-                s_cy = sc_ref[1, j]
-                s_cz = sc_ref[2, j]
-                s_rad = sc_ref[3, j]
+                tb, bi = hs[0], hs[1]
+                at = hs[2:]
+                s_at = tuple(sc_ref[k, j] for k in range(9))
+                s_cx, s_cy, s_cz, s_rad = s_at[0], s_at[1], s_at[2], s_at[3]
                 ocx = ox - s_cx
                 ocy = oy - s_cy
                 ocz = oz - s_cz
@@ -268,12 +281,14 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 t_j = jnp.where(ok, root, _INF)
                 win = t_j < tb
                 return (jnp.where(win, t_j, tb),
-                        jnp.where(win, j.astype(jnp.float32), bi))
+                        jnp.where(win, j.astype(jnp.float32), bi),
+                        *(jnp.where(win, s, h) for s, h in zip(s_at, at)))
 
+            hs0 = (zero + _INF, zero,
+                   zero, zero, zero, one, zero, zero, zero, zero, zero)
             if not n_nodes:
-                tb, bi = jax.lax.fori_loop(
-                    0, dyn_nsph, body, (zero + _INF, zero))
-                return bi, tb < _INF
+                out = jax.lax.fori_loop(0, dyn_nsph, body, hs0)
+                return out[1], out[0] < _INF, out[2:]
 
             # tile-coherent skip-pointer traversal (see megakernel)
             inv_dx = 1.0 / dx
@@ -284,7 +299,9 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 return ts[0] < dyn_nodes
 
             def t_body(ts):
-                node, tb, bi = ts
+                node = ts[0]
+                hs = ts[1:]
+                tb = hs[0]
                 t1 = (nd_ref[0, node] - ox) * inv_dx
                 t2 = (nd_ref[3, node] - ox) * inv_dx
                 t3 = (nd_ref[1, node] - oy) * inv_dy
@@ -305,28 +322,45 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 count = nd_ref[7, node].astype(jnp.int32)
                 skip = nd_ref[8, node].astype(jnp.int32)
                 count_eff = jnp.where(anyhit, count, 0)
-                tb, bi = jax.lax.fori_loop(
-                    start, start + count_eff, body, (tb, bi))
+                hs = jax.lax.fori_loop(
+                    start, start + count_eff, body, hs)
                 node_next = jnp.where(anyhit & (count == 0),
                                       node + 1, skip)
-                return node_next, tb, bi
+                return (node_next, *hs)
 
-            _, tb, bi = jax.lax.while_loop(
-                t_cond, t_body, (jnp.int32(0), zero + _INF, zero))
-            return bi, tb < _INF
+            out = jax.lax.while_loop(t_cond, t_body, (jnp.int32(0), *hs0))
+            return out[2], out[1] < _INF, out[3:]
 
         def gather_attrs(idx_f):
-            """Predicated gather of the 9 sphere attributes by index."""
-            def body(j, acc):
-                m = idx_f == j.astype(jnp.float32)
-                return tuple(
-                    jnp.where(m, sc_ref[k, j], acc[k]) for k in range(9))
+            """Attrs for every lane by index — distinct-winner extraction
+            (iterations = #distinct indices in the tile, usually far
+            fewer than N; replaces an O(N) predicated sweep that made
+            large-scene PASS 2 traversal-bound)."""
+            def cond(st):
+                return jnp.max(st[0]) >= 0
 
-            init = tuple(zero for _ in range(9))
-            return jax.lax.fori_loop(0, dyn_nsph, body, init)
+            def body(st):
+                rem = st[0]
+                acc = st[1:]
+                cur = jnp.max(rem)
+                ci = cur.astype(jnp.int32)
+                m = rem == cur
+                acc = tuple(jnp.where(m, sc_ref[k, ci], a)
+                            for k, a in enumerate(acc))
+                return (jnp.where(m, -1.0, rem), *acc)
 
-        def fwd_sample(sd, store):
-            """One sample's forward; optionally stores residuals."""
+            init = (idx_f,) + tuple(zero for _ in range(9))
+            out = jax.lax.while_loop(cond, body, init)
+            return out[1:]
+
+        def fwd_sample(sd, store, s):
+            """One sample's forward; optionally stores residuals.
+
+            With ``store_idx``, PASS 1 (store=False) records the winner
+            index per bounce into idx_ref and PASS 2 (store=True)
+            replays from it — a distinct-winner attribute gather instead
+            of re-running the whole closest-hit sweep.
+            """
             ray, u, v, lens, sd = gen_ray(sd)
             ox, oy, oz, dx, dy, dz = ray
 
@@ -337,9 +371,16 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 (d, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
                  alive_f, sd_t) = st
                 alive = alive_f > 0
-                idx_f, hit_any = closest_hit(ox, oy, oz, dx, dy, dz,
-                                             alive)
-                attrs = gather_attrs(idx_f)
+                if store and store_idx:
+                    raw = idx_ref[s, d]
+                    hit_any = raw >= 0
+                    idx_f = jnp.maximum(raw, 0.0)
+                    attrs = gather_attrs(idx_f)
+                else:
+                    idx_f, hit_any, attrs = closest_hit(
+                        ox, oy, oz, dx, dy, dz, alive)
+                if (not store) and store_idx:
+                    idx_ref[s, d] = jnp.where(hit_any, idx_f, -1.0)
                 mt = attrs[4]
                 ok = (mt == 0.0) | (mt == 1.0) | (mt == 2.0)
                 scat = alive & hit_any & ok
@@ -358,6 +399,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     res_ref[d, _R_SCAT] = jnp.where(scat, 1.0, 0.0)
                     res_ref[d, _R_MISS] = jnp.where(missed, 1.0, 0.0)
                     res_ref[d, _R_SEED] = pltpu.bitcast(sd_t, jnp.float32)
+                    for k in range(9):
+                        res_ref[d, _R_ATTR0 + k] = attrs[k]
                 n_ro, n_rd, n_thr, out = _bounce_f(
                     (ox, oy, oz), (dx, dy, dz), (cr, cg, cb), attrs,
                     (scat, missed), sd_t, t_min)
@@ -383,6 +426,13 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     res_ref[d, _R_MISS] = zero
                     return 0
                 jax.lax.fori_loop(0, dyn_depth, clr, 0)
+            elif store_idx:
+                # PASS 1: depths the early exit skips must replay as
+                # "no hit" (also covers scratch boot garbage)
+                def clr_idx(d, _):
+                    idx_ref[s, d] = zero - 1.0
+                    return 0
+                jax.lax.fori_loop(0, dyn_depth, clr_idx, 0)
             st = jax.lax.while_loop(cond, body, st)
             return (st[10], st[11], st[12]), st[14], (u, v, lens)
 
@@ -402,11 +452,11 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             if parallel:
                 sd_s = rng.fold_in(sd, s)
                 seeds_ref[s] = pltpu.bitcast(sd_s, jnp.float32)
-                (r, g, b), _, _ = fwd_sample(sd_s, False)
+                (r, g, b), _, _ = fwd_sample(sd_s, False, s)
                 sd_out = sd
             else:
                 seeds_ref[s] = pltpu.bitcast(sd, jnp.float32)
-                (r, g, b), sd_out, _ = fwd_sample(sd, False)
+                (r, g, b), sd_out, _ = fwd_sample(sd, False, s)
             return acc_r + r, acc_g + g, acc_b + b, sd_out
 
         acc_r, acc_g, acc_b, _ = jax.lax.fori_loop(
@@ -440,7 +490,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
         # ---- PASS 2: per sample, re-forward with stores then reverse
         def p2_body(s, cam_sums):
             sd_s = pltpu.bitcast(seeds_ref[s], jnp.uint32)
-            _, _, (u, v, (ldx, ldy)) = fwd_sample(sd_s, True)
+            (v_r, v_g, v_b), _, (u, v, (ldx, ldy)) = fwd_sample(
+                sd_s, True, s)
 
             def rev_body(k, carry):
                 d = dyn_depth - 1 - k
@@ -459,7 +510,9 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 scat = res_ref[d, _R_SCAT] > 0
                 missed = res_ref[d, _R_MISS] > 0
                 sd_t = pltpu.bitcast(res_ref[d, _R_SEED], jnp.uint32)
-                attrs = gather_attrs(idx_f)
+                # winner attrs were stored by the PASS-2 forward — no
+                # per-bounce gather in the reverse sweep
+                attrs = tuple(res_ref[d, _R_ATTR0 + k] for k in range(9))
 
                 def f(ro, rd, thr, attrs):
                     return _bounce_f(ro, rd, thr, attrs,
@@ -470,6 +523,111 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 (n_ro, n_rd, n_thr, g_attrs) = vjp(
                     ((d_ox, d_oy, d_oz), (d_dx, d_dy, d_dz),
                      (d_cr, d_cg, d_cb), (dacc_r, dacc_g, dacc_b)))
+
+                if vis_w > 0:
+                    # -- silhouette (boundary) gradients, the Pallas twin
+                    # of adjoint._trace_bwd's soft-coverage straight
+                    # -through terms (adjoint.py boundary()): only
+                    # d(alpha) enters, scaled by the radiance jump the
+                    # coverage flip would cause.
+                    vw = np.float32(vis_w)
+                    skr, skg, skb = _sky(dx, dy, dz)
+                    a_d = _dot3(dx, dy, dz, dx, dy, dz)
+
+                    def boundary(C_x, C_y, C_z, R_, jr, jg, jb, mask):
+                        ocx = ox - C_x
+                        ocy = oy - C_y
+                        ocz = oz - C_z
+                        hb = ocx * dx + ocy * dy + ocz * dz
+                        c_ = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                              - R_ * R_)
+                        disc = hb * hb - a_d * c_
+                        sref = a_d * vw
+                        sig = 1.0 / (1.0 + jnp.exp(-disc / sref))
+                        dsig = sig * (1.0 - sig) / sref
+                        w_ct = dacc_r * jr + dacc_g * jg + dacc_b * jb
+                        f = jnp.where(mask, dsig * w_ct, 0.0)
+                        # d disc/d center = 2a*oc - 2hb*d; /d radius = 2aR
+                        return (f * (2 * a_d * ocx - 2 * hb * dx),
+                                f * (2 * a_d * ocy - 2 * hb * dy),
+                                f * (2 * a_d * ocz - 2 * hb * dz),
+                                f * (2 * a_d * R_))
+
+                    # hit side: losing coverage switches this sample's
+                    # radiance from its traced value to throughput * sky;
+                    # rides the existing per-winner scatter via g_attrs
+                    bcx, bcy, bcz, brad = boundary(
+                        attrs[0], attrs[1], attrs[2], attrs[3],
+                        v_r - cr * skr, v_g - cg * skg, v_b - cb * skb,
+                        scat)
+                    g_attrs = (g_attrs[0] + bcx, g_attrs[1] + bcy,
+                               g_attrs[2] + bcz, g_attrs[3] + brad,
+                               *g_attrs[4:])
+
+                    # miss side: nearest forward near-miss sphere gaining
+                    # coverage (argmax of negative discriminant,
+                    # adjoint._near_miss_sweep), with the crude one
+                    # -diffuse-bounce radiance estimate
+                    def nm_body(j, st):
+                        (best, bi_m, m_cx, m_cy, m_cz, m_rad,
+                         m_ar, m_ag, m_ab) = st
+                        s_cx = sc_ref[0, j]
+                        s_cy = sc_ref[1, j]
+                        s_cz = sc_ref[2, j]
+                        s_rad = sc_ref[3, j]
+                        s_ar = sc_ref[5, j]
+                        s_ag = sc_ref[6, j]
+                        s_ab = sc_ref[7, j]
+                        ocx = ox - s_cx
+                        ocy = oy - s_cy
+                        ocz = oz - s_cz
+                        hb = ocx * dx + ocy * dy + ocz * dz
+                        c_ = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                              - s_rad * s_rad)
+                        disc = hb * hb - a_d * c_
+                        sc = jnp.where((hb < 0) & (disc < 0), disc, -_INF)
+                        win = sc > best
+                        return (jnp.where(win, sc, best),
+                                jnp.where(win, j.astype(jnp.float32),
+                                          bi_m),
+                                jnp.where(win, s_cx, m_cx),
+                                jnp.where(win, s_cy, m_cy),
+                                jnp.where(win, s_cz, m_cz),
+                                jnp.where(win, s_rad, m_rad),
+                                jnp.where(win, s_ar, m_ar),
+                                jnp.where(win, s_ag, m_ag),
+                                jnp.where(win, s_ab, m_ab))
+
+                    nm0 = (zero - _INF, zero, zero, zero, zero, one,
+                           zero, zero, zero)
+                    (best, bi_m, m_cx, m_cy, m_cz, m_rad,
+                     m_ar, m_ag, m_ab) = jax.lax.fori_loop(
+                        0, dyn_nsph, nm_body, nm0)
+                    nm_mask = missed & (best > -_INF)
+                    mcx, mcy, mcz, mrad = boundary(
+                        m_cx, m_cy, m_cz, m_rad,
+                        cr * skr * m_ar - v_r,
+                        cg * skg * m_ag - v_g,
+                        cb * skb * m_ab - v_b,
+                        nm_mask)
+
+                    def nm_cond(st2):
+                        return jnp.max(st2[0]) >= 0
+
+                    def nm_scat(st2):
+                        rem = st2[0]
+                        cur = jnp.max(rem)
+                        jj = cur.astype(jnp.int32)
+                        mm = jnp.where(rem == cur, 1.0, 0.0)
+                        gsc_acc[0, jj] += jnp.sum(mm * mcx)
+                        gsc_acc[1, jj] += jnp.sum(mm * mcy)
+                        gsc_acc[2, jj] += jnp.sum(mm * mcz)
+                        gsc_acc[3, jj] += jnp.sum(mm * mrad)
+                        return (jnp.where(rem == cur, -1.0, rem),)
+
+                    jax.lax.while_loop(
+                        nm_cond, nm_scat,
+                        (jnp.where(nm_mask, bi_m, -1.0),))
 
                 # scatter attr cotangents into the (16, N) accumulator
                 # by EXTRACTING unique winner indices one at a time: the
@@ -540,7 +698,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
 def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                       interpret: bool | None = None, bvh=None,
-                      row0=0, rows=None, vma=None):
+                      row0=0, rows=None, vma=None, vis_w: float = 0.0):
     """Fused image + VJP -> (img, d_scene, d_camera) for image cotangent
     ``ct``.  Pass a BVH to accelerate large scenes (the returned d_scene
     is in the ORIGINAL sphere order).
@@ -587,7 +745,10 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     out_plane = _shp((hp, wp))
 
     m = 0 if bvh is None else bvh.nodes.shape[0]
-    kernel = _make_grad_kernel(cfg, n, n_nodes=m)
+    tile_bytes = _TILE_H * _TILE_W * 4
+    store_idx = cfg.spp * cfg.depth * tile_bytes <= _IDX_VMEM_BUDGET
+    kernel = _make_grad_kernel(cfg, n, n_nodes=m, store_idx=store_idx,
+                               vis_w=float(vis_w))
     operands = [_pack_camera(cam, cfg, n, m, row0), _pack_scene(scene_k)]
     in_specs = [smem, smem]
     if bvh is not None:
@@ -595,6 +756,18 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         in_specs.append(smem)
     operands += [ct_pad[:, :, 0], ct_pad[:, :, 1], ct_pad[:, :, 2]]
     in_specs += [plane, plane, plane]
+    scratch = [
+        pltpu.VMEM((cfg.depth, _NRES, _TILE_H, _TILE_W), jnp.float32),
+        pltpu.VMEM((cfg.spp, _TILE_H, _TILE_W), jnp.float32),
+    ]
+    if store_idx:
+        scratch.append(
+            pltpu.VMEM((cfg.spp, cfg.depth, _TILE_H, _TILE_W),
+                       jnp.float32))
+    scratch += [
+        pltpu.SMEM((16, n_pad), jnp.float32),
+        pltpu.SMEM((1, 32), jnp.float32),
+    ]
     r, g, b, gsc, gcam = pl.pallas_call(
         kernel,
         grid=grid,
@@ -602,12 +775,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                    _shp((16, n_pad)), _shp((1, 32))),
         in_specs=in_specs,
         out_specs=(plane, plane, plane, acc_sc, acc_cam),
-        scratch_shapes=[
-            pltpu.VMEM((cfg.depth, _NRES, _TILE_H, _TILE_W), jnp.float32),
-            pltpu.VMEM((cfg.spp, _TILE_H, _TILE_W), jnp.float32),
-            pltpu.SMEM((16, n_pad), jnp.float32),
-            pltpu.SMEM((1, 32), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*operands)
 

@@ -101,6 +101,248 @@ def _to_gamma(x, gamma):
     return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
 
 
+def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min):
+    """ONE bounce of the path-trace state machine over an (8, 128) tile.
+
+    Returns ``body(state) -> state`` with state
+    ``(d, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb, alive_f, sd)``
+    — exactly golden.trace's masked scan step (hlsl:255-287).  The single
+    source of truth for the per-bounce kernel math: both the megakernel's
+    in-register spp x depth loop and the wavefront kernel's segment loop
+    call this.  ``nd_ref=None`` selects the brute-force sweep; otherwise
+    the tile-coherent skip-pointer BVH walk (raytpu/bvh.py).
+    """
+
+    def body(st):
+        (d, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+         alive_f, sd) = st
+        shape = ox.shape
+        zero = jnp.zeros(shape, jnp.float32)
+        one = zero + 1.0
+        alive = alive_f > 0
+
+        # -- closest hit over all spheres (hlsl:188-205), tracking
+        # the winner's attributes via predicated updates.  (A
+        # lean (t, idx)-only sweep + distinct-winner gather was
+        # measured SLOWER here: unsorted tiles have O(100)
+        # distinct winners and the serial extract loop dominates.)
+        a = _dot3(dx, dy, dz, dx, dy, dz)
+        inv_a = 1.0 / a  # hoisted: roots multiply in the hot loop
+
+        def sphere_body(j, hs):
+            (tb, h_cx, h_cy, h_cz, h_rad,
+             h_mt, h_ar, h_ag, h_ab, h_mp) = hs
+            s_cx = sc_ref[0, j]
+            s_cy = sc_ref[1, j]
+            s_cz = sc_ref[2, j]
+            s_rad = sc_ref[3, j]
+            s_mt = sc_ref[4, j]
+            s_ar = sc_ref[5, j]
+            s_ag = sc_ref[6, j]
+            s_ab = sc_ref[7, j]
+            s_mp = sc_ref[8, j]
+
+            ocx = ox - s_cx
+            ocy = oy - s_cy
+            ocz = oz - s_cz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                 - s_rad * s_rad)
+            disc = half_b * half_b - a * c
+            has_root = disc >= 0
+            sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+            root1 = (-half_b - sqrtd) * inv_a
+            root2 = (-half_b + sqrtd) * inv_a
+            near_ok = root1 >= t_min
+            root = jnp.where(near_ok, root1, root2)
+            ok = has_root & (root >= t_min)
+            t_j = jnp.where(ok, root, _INF)
+
+            win = t_j < tb
+            tb = jnp.where(win, t_j, tb)
+            h_cx = jnp.where(win, s_cx, h_cx)
+            h_cy = jnp.where(win, s_cy, h_cy)
+            h_cz = jnp.where(win, s_cz, h_cz)
+            h_rad = jnp.where(win, s_rad, h_rad)
+            h_mt = jnp.where(win, s_mt, h_mt)
+            h_ar = jnp.where(win, s_ar, h_ar)
+            h_ag = jnp.where(win, s_ag, h_ag)
+            h_ab = jnp.where(win, s_ab, h_ab)
+            h_mp = jnp.where(win, s_mp, h_mp)
+            return (tb, h_cx, h_cy, h_cz, h_rad,
+                    h_mt, h_ar, h_ag, h_ab, h_mp)
+
+        hs0 = (zero + _INF, zero, zero, zero, one,
+               zero, zero, zero, zero, zero)
+        if "nohit" in _ABLATE:
+            hs = ((zero + 0.5) + jnp.where(dx > 0, 0.0, _INF),
+                  *hs0[1:])
+        elif nd_ref is None:
+            hs = jax.lax.fori_loop(0, dyn_nsph, sphere_body, hs0)
+        else:
+            # tile-coherent skip-pointer traversal (raytpu/bvh.py):
+            # the whole tile walks the preorder node list; a node's
+            # subtree is entered iff ANY live lane hits its bbox.
+            inv_dx = 1.0 / dx
+            inv_dy = 1.0 / dy
+            inv_dz = 1.0 / dz
+
+            def t_cond(ts):
+                return ts[0] < dyn_nodes
+
+            def t_body(ts):
+                node = ts[0]
+                hs = ts[1:]
+                tb = hs[0]
+                t1 = (nd_ref[0, node] - ox) * inv_dx
+                t2 = (nd_ref[3, node] - ox) * inv_dx
+                t3 = (nd_ref[1, node] - oy) * inv_dy
+                t4 = (nd_ref[4, node] - oy) * inv_dy
+                t5 = (nd_ref[2, node] - oz) * inv_dz
+                t6 = (nd_ref[5, node] - oz) * inv_dz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1, t2),
+                                jnp.minimum(t3, t4)),
+                    jnp.maximum(jnp.minimum(t5, t6), t_min))
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1, t2),
+                                jnp.maximum(t3, t4)),
+                    jnp.minimum(jnp.maximum(t5, t6), tb))
+                # NaN (origin on a padded face) -> treated as hit:
+                # conservative, never misses true intersections
+                boxhit = ~(tnear > tfar) & alive
+                anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
+                start = nd_ref[6, node].astype(jnp.int32)
+                count = nd_ref[7, node].astype(jnp.int32)
+                skip = nd_ref[8, node].astype(jnp.int32)
+                count_eff = jnp.where(anyhit, count, 0)
+                hs = jax.lax.fori_loop(
+                    start, start + count_eff, sphere_body, hs)
+                node_next = jnp.where(anyhit & (count == 0),
+                                      node + 1, skip)
+                return (node_next, *hs)
+
+            out = jax.lax.while_loop(
+                t_cond, t_body, (jnp.int32(0), *hs0))
+            hs = out[1:]
+        (tb, h_cx, h_cy, h_cz, h_rad,
+         h_mt, h_ar, h_ag, h_ab, h_mp) = hs
+
+        hit_any = tb < _INF
+        t = jnp.where(hit_any, tb, 1.0)
+
+        # hit point + outward normal (hlsl:180-183, golden.hit_world)
+        hpx = ox + t * dx
+        hpy = oy + t * dy
+        hpz = oz + t * dz
+        inv_r = 1.0 / jnp.where(h_rad == 0, 1.0, h_rad)
+        nx = (hpx - h_cx) * inv_r
+        ny = (hpy - h_cy) * inv_r
+        nz = (hpz - h_cz) * inv_r
+        front = _dot3(dx, dy, dz, nx, ny, nz) < 0
+        sgn = jnp.where(front, 1.0, -1.0)
+        nx = nx * sgn
+        ny = ny * sgn
+        nz = nz * sgn
+
+        # -- scatter (hlsl:207-252, golden.scatter)
+        if "norng" in _ABLATE:
+            sx = zero + 0.1
+            sy = zero + 0.2
+            sz = zero + 0.3
+            h1 = zero + 0.5
+            sd_new = sd
+        else:
+            (sx, sy, sz), sd_new = rng.random_in_unit_sphere(sd)
+            h1, _ = rng.hash1(sd)
+
+        if "noscatter" in _ABLATE:
+            ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+            scat = alive & hit_any
+            absorbed = alive & ~hit_any & (zero > 1.0)
+            missed = alive & ~hit_any
+            skr, skg, skb = _sky(dx, dy, dz)
+            rr = jnp.where(missed, rr + cr * skr, rr)
+            rg = jnp.where(missed, rg + cg * skg, rg)
+            rb = jnp.where(missed, rb + cb * skb, rb)
+            cr = jnp.where(scat, cr * h_ar, cr)
+            cg = jnp.where(scat, cg * h_ag, cg)
+            cb = jnp.where(scat, cb * h_ab, cb)
+            ox = jnp.where(scat, hpx, ox)
+            oy = jnp.where(scat, hpy, oy)
+            oz = jnp.where(scat, hpz, oz)
+            dx = jnp.where(scat, ddx, dx)
+            dy = jnp.where(scat, ddy, dy)
+            dz = jnp.where(scat, ddz, dz)
+            sd = jnp.where(scat, sd_new, sd)
+            alive = alive & ~(missed | absorbed)
+            alive_f = jnp.where(alive, 1.0, 0.0)
+            return (d + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                    rr, rg, rb, alive_f, sd)
+
+        ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+
+        rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
+        mdx, mdy, mdz = _normalize3(
+            rx + h_mp * sx, ry + h_mp * sy, rz + h_mp * sz)
+
+        is_glass = h_mt == 2.0
+        ior = jnp.where(is_glass, jnp.maximum(h_mp, 1e-3), 1.5)
+        ux, uy, uz = _normalize3(dx, dy, dz)
+        ratio = jnp.where(front, 1.0 / ior, ior)
+        cosine = jnp.minimum(_dot3(-ux, -uy, -uz, nx, ny, nz), 1.0)
+        sine = jnp.sqrt(jnp.maximum(1.0 - cosine * cosine, 0.0))
+        cannot = ratio * sine > 1.0
+        use_reflect = cannot | (_schlick(cosine, ratio) > h1)
+        rfx, rfy, rfz = _reflect(ux, uy, uz, nx, ny, nz)
+        tx, ty, tz = _refract(ux, uy, uz, nx, ny, nz, ratio)
+        gdx = jnp.where(use_reflect, rfx, tx)
+        gdy = jnp.where(use_reflect, rfy, ty)
+        gdz = jnp.where(use_reflect, rfz, tz)
+
+        is_d = h_mt == 0.0
+        is_m = h_mt == 1.0
+        ok = is_d | is_m | is_glass
+
+        atr = jnp.where(is_glass, 1.0, h_ar)
+        atg = jnp.where(is_glass, 1.0, h_ag)
+        atb = jnp.where(is_glass, 1.0, h_ab)
+
+        odx = jnp.where(is_d, ddx, jnp.where(is_m, mdx, gdx))
+        ody = jnp.where(is_d, ddy, jnp.where(is_m, mdy, gdy))
+        odz = jnp.where(is_d, ddz, jnp.where(is_m, mdz, gdz))
+
+        scat = alive & hit_any & ok
+        absorbed = alive & hit_any & ~ok
+        missed = alive & ~hit_any
+
+        # ADD (not overwrite): a sample's ray misses at most once with
+        # rr still at its incoming value, so this is value-identical for
+        # the megakernel's per-sample rr=0 start — and it lets the
+        # wavefront renderer carry multi-wave radiance sums in-slot.
+        skr, skg, skb = _sky(dx, dy, dz)
+        rr = jnp.where(missed, rr + cr * skr, rr)
+        rg = jnp.where(missed, rg + cg * skg, rg)
+        rb = jnp.where(missed, rb + cb * skb, rb)
+
+        cr = jnp.where(scat, cr * atr, cr)
+        cg = jnp.where(scat, cg * atg, cg)
+        cb = jnp.where(scat, cb * atb, cb)
+        ox = jnp.where(scat, hpx, ox)
+        oy = jnp.where(scat, hpy, oy)
+        oz = jnp.where(scat, hpz, oz)
+        dx = jnp.where(scat, odx, dx)
+        dy = jnp.where(scat, ody, dy)
+        dz = jnp.where(scat, odz, dz)
+        sd = jnp.where(scat, sd_new, sd)
+        alive = alive & ~(missed | absorbed)
+        alive_f = jnp.where(alive, 1.0, 0.0)
+        return (d + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                rr, rg, rb, alive_f, sd)
+
+    return body
+
+
 def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                  carry_state: bool = False, block_w: int = _TILE_W):
     depth = cfg.depth
@@ -114,6 +356,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
     block_h = (_TILE_H * _TILE_W) // block_w
 
     def kernel(cam_ref, sc_ref, *rest):
+        nd_ref = None
         if n_nodes:
             nd_ref, *rest = rest
         if carry_state:
@@ -174,6 +417,12 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                     else cam_ref[21].astype(jnp.int32))
         dyn_s0 = cam_ref[24].astype(jnp.uint32)  # parallel sample offset
 
+        dyn_nodes = (0 if not n_nodes else
+                     (n_nodes if "nodes" in _STATIC_BOUNDS
+                      else cam_ref[22].astype(jnp.int32)))
+        bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes,
+                                  t_min)
+
         def trace_one(ox, oy, oz, dx, dy, dz, sd):
             """Bounce loop with whole-tile early exit (golden.trace)."""
             zero = jnp.zeros(shape, jnp.float32)
@@ -186,237 +435,13 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                 # vectors through scf.while); > 0 means alive
                 return (d < dyn_depth) & (jnp.max(alive_f) > 0)
 
-            def body(st):
-                (d, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
-                 alive_f, sd) = st
-                alive = alive_f > 0
-
-                # -- closest hit over all spheres (hlsl:188-205), tracking
-                # the winner's attributes via predicated updates.  (A
-                # lean (t, idx)-only sweep + distinct-winner gather was
-                # measured SLOWER here: unsorted tiles have O(100)
-                # distinct winners and the serial extract loop dominates;
-                # the sorted wavefront kernel is where that trick pays.)
-                a = _dot3(dx, dy, dz, dx, dy, dz)
-                inv_a = 1.0 / a  # hoisted: roots multiply in the hot loop
-
-                def sphere_body(j, hs):
-                    (tb, h_cx, h_cy, h_cz, h_rad,
-                     h_mt, h_ar, h_ag, h_ab, h_mp) = hs
-                    s_cx = sc_ref[0, j]
-                    s_cy = sc_ref[1, j]
-                    s_cz = sc_ref[2, j]
-                    s_rad = sc_ref[3, j]
-                    s_mt = sc_ref[4, j]
-                    s_ar = sc_ref[5, j]
-                    s_ag = sc_ref[6, j]
-                    s_ab = sc_ref[7, j]
-                    s_mp = sc_ref[8, j]
-
-                    ocx = ox - s_cx
-                    ocy = oy - s_cy
-                    ocz = oz - s_cz
-                    half_b = ocx * dx + ocy * dy + ocz * dz
-                    c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
-                         - s_rad * s_rad)
-                    disc = half_b * half_b - a * c
-                    has_root = disc >= 0
-                    sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
-                    root1 = (-half_b - sqrtd) * inv_a
-                    root2 = (-half_b + sqrtd) * inv_a
-                    near_ok = root1 >= t_min
-                    root = jnp.where(near_ok, root1, root2)
-                    ok = has_root & (root >= t_min)
-                    t_j = jnp.where(ok, root, _INF)
-
-                    win = t_j < tb
-                    tb = jnp.where(win, t_j, tb)
-                    h_cx = jnp.where(win, s_cx, h_cx)
-                    h_cy = jnp.where(win, s_cy, h_cy)
-                    h_cz = jnp.where(win, s_cz, h_cz)
-                    h_rad = jnp.where(win, s_rad, h_rad)
-                    h_mt = jnp.where(win, s_mt, h_mt)
-                    h_ar = jnp.where(win, s_ar, h_ar)
-                    h_ag = jnp.where(win, s_ag, h_ag)
-                    h_ab = jnp.where(win, s_ab, h_ab)
-                    h_mp = jnp.where(win, s_mp, h_mp)
-                    return (tb, h_cx, h_cy, h_cz, h_rad,
-                            h_mt, h_ar, h_ag, h_ab, h_mp)
-
-                hs0 = (zero + _INF, zero, zero, zero, one,
-                       zero, zero, zero, zero, zero)
-                if "nohit" in _ABLATE:
-                    hs = ((zero + 0.5) + jnp.where(dx > 0, 0.0, _INF),
-                          *hs0[1:])
-                elif not n_nodes:
-                    hs = jax.lax.fori_loop(0, dyn_nsph, sphere_body, hs0)
-                else:
-                    # tile-coherent skip-pointer traversal (raytpu/bvh.py):
-                    # the whole tile walks the preorder node list; a node's
-                    # subtree is entered iff ANY live lane hits its bbox.
-                    inv_dx = 1.0 / dx
-                    inv_dy = 1.0 / dy
-                    inv_dz = 1.0 / dz
-
-                    dyn_nodes = (n_nodes if "nodes" in _STATIC_BOUNDS
-                                 else cam_ref[22].astype(jnp.int32))
-
-                    def t_cond(ts):
-                        return ts[0] < dyn_nodes
-
-                    def t_body(ts):
-                        node = ts[0]
-                        hs = ts[1:]
-                        tb = hs[0]
-                        t1 = (nd_ref[0, node] - ox) * inv_dx
-                        t2 = (nd_ref[3, node] - ox) * inv_dx
-                        t3 = (nd_ref[1, node] - oy) * inv_dy
-                        t4 = (nd_ref[4, node] - oy) * inv_dy
-                        t5 = (nd_ref[2, node] - oz) * inv_dz
-                        t6 = (nd_ref[5, node] - oz) * inv_dz
-                        tnear = jnp.maximum(
-                            jnp.maximum(jnp.minimum(t1, t2),
-                                        jnp.minimum(t3, t4)),
-                            jnp.maximum(jnp.minimum(t5, t6), t_min))
-                        tfar = jnp.minimum(
-                            jnp.minimum(jnp.maximum(t1, t2),
-                                        jnp.maximum(t3, t4)),
-                            jnp.minimum(jnp.maximum(t5, t6), tb))
-                        # NaN (origin on a padded face) -> treated as hit:
-                        # conservative, never misses true intersections
-                        boxhit = ~(tnear > tfar) & alive
-                        anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
-                        start = nd_ref[6, node].astype(jnp.int32)
-                        count = nd_ref[7, node].astype(jnp.int32)
-                        skip = nd_ref[8, node].astype(jnp.int32)
-                        count_eff = jnp.where(anyhit, count, 0)
-                        hs = jax.lax.fori_loop(
-                            start, start + count_eff, sphere_body, hs)
-                        node_next = jnp.where(anyhit & (count == 0),
-                                              node + 1, skip)
-                        return (node_next, *hs)
-
-                    out = jax.lax.while_loop(
-                        t_cond, t_body, (jnp.int32(0), *hs0))
-                    hs = out[1:]
-                (tb, h_cx, h_cy, h_cz, h_rad,
-                 h_mt, h_ar, h_ag, h_ab, h_mp) = hs
-
-                hit_any = tb < _INF
-                t = jnp.where(hit_any, tb, 1.0)
-
-                # hit point + outward normal (hlsl:180-183, golden.hit_world)
-                hpx = ox + t * dx
-                hpy = oy + t * dy
-                hpz = oz + t * dz
-                inv_r = 1.0 / jnp.where(h_rad == 0, 1.0, h_rad)
-                nx = (hpx - h_cx) * inv_r
-                ny = (hpy - h_cy) * inv_r
-                nz = (hpz - h_cz) * inv_r
-                front = _dot3(dx, dy, dz, nx, ny, nz) < 0
-                sgn = jnp.where(front, 1.0, -1.0)
-                nx = nx * sgn
-                ny = ny * sgn
-                nz = nz * sgn
-
-                # -- scatter (hlsl:207-252, golden.scatter)
-                if "norng" in _ABLATE:
-                    sx = zero + 0.1
-                    sy = zero + 0.2
-                    sz = zero + 0.3
-                    h1 = zero + 0.5
-                    sd_new = sd
-                else:
-                    (sx, sy, sz), sd_new = rng.random_in_unit_sphere(sd)
-                    h1, _ = rng.hash1(sd)
-
-                if "noscatter" in _ABLATE:
-                    ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
-                    scat = alive & hit_any
-                    absorbed = alive & ~hit_any & (zero > 1.0)
-                    missed = alive & ~hit_any
-                    skr, skg, skb = _sky(dx, dy, dz)
-                    rr = jnp.where(missed, cr * skr, rr)
-                    rg = jnp.where(missed, cg * skg, rg)
-                    rb = jnp.where(missed, cb * skb, rb)
-                    cr = jnp.where(scat, cr * h_ar, cr)
-                    cg = jnp.where(scat, cg * h_ag, cg)
-                    cb = jnp.where(scat, cb * h_ab, cb)
-                    ox = jnp.where(scat, hpx, ox)
-                    oy = jnp.where(scat, hpy, oy)
-                    oz = jnp.where(scat, hpz, oz)
-                    dx = jnp.where(scat, ddx, dx)
-                    dy = jnp.where(scat, ddy, dy)
-                    dz = jnp.where(scat, ddz, dz)
-                    sd = jnp.where(scat, sd_new, sd)
-                    alive = alive & ~(missed | absorbed)
-                    alive_f = jnp.where(alive, 1.0, 0.0)
-                    return (d + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                            rr, rg, rb, alive_f, sd)
-
-                ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
-
-                rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
-                mdx, mdy, mdz = _normalize3(
-                    rx + h_mp * sx, ry + h_mp * sy, rz + h_mp * sz)
-
-                is_glass = h_mt == 2.0
-                ior = jnp.where(is_glass, jnp.maximum(h_mp, 1e-3), 1.5)
-                ux, uy, uz = _normalize3(dx, dy, dz)
-                ratio = jnp.where(front, 1.0 / ior, ior)
-                cosine = jnp.minimum(_dot3(-ux, -uy, -uz, nx, ny, nz), 1.0)
-                sine = jnp.sqrt(jnp.maximum(1.0 - cosine * cosine, 0.0))
-                cannot = ratio * sine > 1.0
-                use_reflect = cannot | (_schlick(cosine, ratio) > h1)
-                rfx, rfy, rfz = _reflect(ux, uy, uz, nx, ny, nz)
-                tx, ty, tz = _refract(ux, uy, uz, nx, ny, nz, ratio)
-                gdx = jnp.where(use_reflect, rfx, tx)
-                gdy = jnp.where(use_reflect, rfy, ty)
-                gdz = jnp.where(use_reflect, rfz, tz)
-
-                is_d = h_mt == 0.0
-                is_m = h_mt == 1.0
-                ok = is_d | is_m | is_glass
-
-                atr = jnp.where(is_glass, 1.0, h_ar)
-                atg = jnp.where(is_glass, 1.0, h_ag)
-                atb = jnp.where(is_glass, 1.0, h_ab)
-
-                odx = jnp.where(is_d, ddx, jnp.where(is_m, mdx, gdx))
-                ody = jnp.where(is_d, ddy, jnp.where(is_m, mdy, gdy))
-                odz = jnp.where(is_d, ddz, jnp.where(is_m, mdz, gdz))
-
-                scat = alive & hit_any & ok
-                absorbed = alive & hit_any & ~ok
-                missed = alive & ~hit_any
-
-                skr, skg, skb = _sky(dx, dy, dz)
-                rr = jnp.where(missed, cr * skr, rr)
-                rg = jnp.where(missed, cg * skg, rg)
-                rb = jnp.where(missed, cb * skb, rb)
-
-                cr = jnp.where(scat, cr * atr, cr)
-                cg = jnp.where(scat, cg * atg, cg)
-                cb = jnp.where(scat, cb * atb, cb)
-                ox = jnp.where(scat, hpx, ox)
-                oy = jnp.where(scat, hpy, oy)
-                oz = jnp.where(scat, hpz, oz)
-                dx = jnp.where(scat, odx, dx)
-                dy = jnp.where(scat, ody, dy)
-                dz = jnp.where(scat, odz, dz)
-                sd = jnp.where(scat, sd_new, sd)
-                alive = alive & ~(missed | absorbed)
-                alive_f = jnp.where(alive, 1.0, 0.0)
-                return (d + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                        rr, rg, rb, alive_f, sd)
-
             st = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
                   one, one, one, zero, zero, zero, one, sd)
             if _NO_EARLY_EXIT:
                 st = jax.lax.fori_loop(0, dyn_depth,
-                                       lambda i, st: body(st), st)
+                                       lambda i, st: bounce(st), st)
             else:
-                st = jax.lax.while_loop(cond, body, st)
+                st = jax.lax.while_loop(cond, bounce, st)
             return st[10], st[11], st[12], st[14]
 
         def sample_body(s, carry):
@@ -562,7 +587,7 @@ def _unscramble(x, grid, block_h, block_w):
             .reshape(gi * block_h, gj * block_w))
 
 
-def _golden_bwd(cfg, res, ct):
+def _golden_bwd(cfg, res, ct, vis_w=0.0):
     # Backward re-traces through the hand-structured adjoint renderer
     # (raytpu/adjoint.py): identical forward semantics to this kernel
     # (tests assert allclose), with an O(P*depth) backward that touches
@@ -570,64 +595,68 @@ def _golden_bwd(cfg, res, ct):
     from raytpu import adjoint
     scene, cam = res
     _, vjp = jax.vjp(
-        lambda s, c: adjoint.render_golden_adjoint(s, c, cfg), scene, cam)
+        lambda s, c: adjoint.render_golden_adjoint(s, c, cfg, vis_w),
+        scene, cam)
     ds, dc = vjp(ct)
     ds = ds._replace(mat_type=None)  # discrete leaf: no cotangent
     return ds, dc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
-                   interpret: bool, block_w: int):
+                   interpret: bool, block_w: int, vis_w: float):
     return _render_pallas_fwd_impl(scene, cam, cfg, interpret,
                                    block_w=block_w)
 
 
-def _fwd(scene, cam, cfg, interpret, block_w):
+def _fwd(scene, cam, cfg, interpret, block_w, vis_w):
     return _render_pallas_fwd_impl(scene, cam, cfg, interpret,
                                    block_w=block_w), (scene, cam)
 
 
-def _bwd(cfg, interpret, block_w, res, ct):
+def _bwd(cfg, interpret, block_w, vis_w, res, ct):
     # compiled path: the fused Pallas VJP kernel (raytpu/kernels/
     # gradkernel.py) - whole reverse sweep in VMEM.  Interpret mode keeps
     # the XLA adjoint (the fused kernel's interpreter is far slower than
-    # compiled XLA on CPU test sizes).
+    # compiled XLA on CPU test sizes).  vis_w > 0 adds silhouette
+    # gradients on either path.
     if not interpret:
         from raytpu.kernels import gradkernel
         scene, cam = res
         _, ds, dc = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
-                                                 interpret=False)
+                                                 interpret=False,
+                                                 vis_w=vis_w)
         return ds, dc
-    return _golden_bwd(cfg, res, ct)
+    return _golden_bwd(cfg, res, ct, vis_w)
 
 
 _render_pallas.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _render_pallas_bvh(scene: Scene, cam: Camera, nodes, perm,
-                       cfg: RenderConfig, interpret: bool, block_w: int):
+                       cfg: RenderConfig, interpret: bool, block_w: int,
+                       vis_w: float):
     return _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm,
                                    block_w=block_w)
 
 
-def _fwd_bvh(scene, cam, nodes, perm, cfg, interpret, block_w):
+def _fwd_bvh(scene, cam, nodes, perm, cfg, interpret, block_w, vis_w):
     img = _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm,
                                   block_w=block_w)
     return img, (scene, cam, nodes, perm)
 
 
-def _bwd_bvh(cfg, interpret, block_w, res, ct):
+def _bwd_bvh(cfg, interpret, block_w, vis_w, res, ct):
     scene, cam, nodes, perm = res
     if not interpret:
         from raytpu.bvh import BVH
         from raytpu.kernels import gradkernel
         _, ds, dc = gradkernel.render_pallas_vjp(
             scene, cam, cfg, ct, interpret=False,
-            bvh=BVH(nodes=nodes, perm=perm))
+            bvh=BVH(nodes=nodes, perm=perm), vis_w=vis_w)
     else:
-        ds, dc = _golden_bwd(cfg, (scene, cam), ct)
+        ds, dc = _golden_bwd(cfg, (scene, cam), ct, vis_w)
     # BVH geometry is derived data: no cotangent (all-f32 by design)
     return ds, dc, jnp.zeros_like(nodes), jnp.zeros_like(perm)
 
@@ -696,7 +725,8 @@ def accumulate_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 def render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
                   interpret: bool | None = None, bvh=None,
-                  block_w: int | None = None) -> jnp.ndarray:
+                  block_w: int | None = None,
+                  vis_w: float = 0.0) -> jnp.ndarray:
     """Full-frame Pallas render -> (H, W, 3) f32 image in [0, 1].
 
     ``interpret=None`` auto-selects interpreter mode off-TPU so the same
@@ -707,13 +737,17 @@ def render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
     ``block_w`` sets the pixel-block shape a tile covers
     (1024/block_w x block_w); ``None`` auto-selects 32 (square-ish
     frustum) for BVH scenes and the plain 8 x 128 strip otherwise.
-    Output images are bit-identical across block shapes.
+    Output images are bit-identical across block shapes.  ``vis_w > 0``
+    adds silhouette (boundary) gradients to the backward pass (forward
+    values are unchanged) — see gradkernel/adjoint.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if block_w is None:
         block_w = 32 if bvh is not None else _TILE_W
     if bvh is None:
-        return _render_pallas(scene, cam, cfg, bool(interpret), block_w)
+        return _render_pallas(scene, cam, cfg, bool(interpret), block_w,
+                              float(vis_w))
     return _render_pallas_bvh(scene, cam, bvh.nodes, bvh.perm,
-                              cfg, bool(interpret), block_w)
+                              cfg, bool(interpret), block_w,
+                              float(vis_w))

@@ -4,9 +4,14 @@ The reference's L2/L3 host layers (CSVersion/DxCSApp.cpp orchestration +
 CSVersion/main.cpp shell) collapse into these functions: build a Scene and a
 Camera, call :func:`render`.  Backends:
 
-- ``"golden"`` — the pure-jnp oracle (raytpu/golden.py), runs anywhere.
-- ``"pallas"`` — fused Pallas TPU megakernel (raytpu/kernels/), the fast path.
-- ``"auto"``   — pallas on TPU, golden elsewhere.
+- ``"golden"``    — the pure-jnp oracle (raytpu/golden.py), runs anywhere.
+- ``"pallas"``    — fused Pallas TPU megakernel (raytpu/kernels/), the fast
+  path for small scenes.
+- ``"wavefront"`` — sorted-wavefront Pallas renderer (raytpu/wavefront.py):
+  rays re-sorted for coherence between bounce segments; the fast path for
+  large (BVH) scenes and deep configs.
+- ``"auto"``      — on TPU: wavefront when a BVH is passed, else pallas;
+  golden elsewhere.
 
 ``render_grad`` returns (image, pulled-back gradients) of a scalar loss over
 the image w.r.t. (scene, camera) — the differentiable-rendering surface
@@ -27,14 +32,14 @@ from raytpu.scene import Scene
 from raytpu import golden
 
 
-def _backend(name: str) -> str:
+def _backend(name: str, bvh=None) -> str:
     if name != "auto":
         return name
     platform = jax.devices()[0].platform
     if platform == "tpu":
         try:
             from raytpu.kernels import megakernel  # noqa: F401
-            return "pallas"
+            return "wavefront" if bvh is not None else "pallas"
         except ImportError:
             return "golden"
     return "golden"
@@ -49,26 +54,29 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
     :func:`raytpu.bvh.build_bvh`) accelerates large scenes on the pallas
     backend; the golden backend ignores it (it is the brute-force oracle).
     """
-    backend = _backend(backend)
+    backend = _backend(backend, bvh)
     if backend == "golden":
         return golden.render_golden(scene, cam, cfg)
     if backend == "pallas":
         from raytpu.kernels import megakernel
         return megakernel.render_pallas(scene, cam, cfg, bvh=bvh)
+    if backend == "wavefront":
+        from raytpu.wavefront import render_wavefront
+        return render_wavefront(scene, cam, cfg, bvh=bvh)
     raise ValueError(f"unknown backend: {backend!r}")
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _grad_impl(scene, cam, target, cfg, backend):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _grad_impl(scene, cam, target, cfg, backend, vis_w):
     def loss_fn(scene_, cam_):
         if backend == "golden":
             # hand-structured adjoint: forward bit-identical to golden,
             # backward O(P*depth) (raytpu/adjoint.py)
             from raytpu import adjoint
-            img = adjoint.render_golden_adjoint(scene_, cam_, cfg)
+            img = adjoint.render_golden_adjoint(scene_, cam_, cfg, vis_w)
         else:
             from raytpu.kernels import megakernel
-            img = megakernel.render_pallas(scene_, cam_, cfg)
+            img = megakernel.render_pallas(scene_, cam_, cfg, vis_w=vis_w)
         loss = jnp.mean((img - target) ** 2)
         return loss, img
 
@@ -79,10 +87,15 @@ def _grad_impl(scene, cam, target, cfg, backend):
 
 
 def render_grad(scene: Scene, cam: Camera, cfg: RenderConfig, target,
-                backend: str = "auto"):
+                backend: str = "auto", vis_w: float = 0.0):
     """MSE loss against ``target`` + gradients w.r.t. (scene, camera).
 
-    Returns (loss, image, (scene_grads, camera_grads)).
+    Returns (loss, image, (scene_grads, camera_grads)).  ``vis_w > 0``
+    adds silhouette (boundary) gradients for geometry optimization —
+    forward values stay the exact hard render (see raytpu/adjoint.py).
     """
+    backend = _backend(backend)
+    if backend == "wavefront":
+        backend = "pallas"  # grads flow through the same fused VJP
     return _grad_impl(scene, cam, jnp.asarray(target, jnp.float32),
-                      cfg, _backend(backend))
+                      cfg, backend, float(vis_w))

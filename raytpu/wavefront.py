@@ -1,0 +1,353 @@
+"""Sorted-wavefront renderer — ray reordering between bounce segments.
+
+The megakernel (raytpu/kernels/megakernel.py) keeps each pixel-tile's
+rays together for the whole spp x depth loop.  That is optimal for small
+scenes, but for large scenes its tile-coherent BVH walk degrades: after
+one diffuse bounce the 1024 rays of a tile point everywhere, so the
+whole tile enters almost every node (the union of 1024 random frusta
+covers the scene).  The reference has no analogue — its brute-force
+loop (CSVersion/ShaderCompute.hlsl:188-205) pays N sphere tests per ray
+per bounce regardless.
+
+This module restructures the trace the TPU-native way, as a WAVEFRONT
+over a flat ray array (SURVEY.md §7 hard-part 2):
+
+- rays live in (R,) HBM planes, processed by a segment kernel that runs
+  k bounces in VMEM registers per (8, 128) tile of CONSECUTIVE slots;
+- between segments, rays are re-sorted by a (quantized hit position,
+  direction octant) key — one ``lax.sort`` over all state planes — so
+  the next segment's tiles are spatially/directionally coherent and the
+  tile-coherent BVH walk culls again;
+- dead rays get the +inf key, compacting them to the array tail where
+  whole tiles early-exit in one step (the depth-50 tail of
+  REFERENCE_V2 stops paying for dead lanes);
+- radiance/throughput/seed ride IN-SLOT through every sort; pixel ids
+  ride alongside, and ONE final scatter assembles the image after all
+  samples — there is no per-wave unsort.
+- wave k+1's primary rays reuse wave k's final slot order: slots end
+  grouped by bounce-1 hit position, which is grouped by pixel
+  neighborhood, so primary coherence survives without a restore sort.
+
+Per-bounce math is raytpu.kernels.megakernel.make_bounce_body — the
+SAME ops as the megakernel and golden.py, so images are bit-identical
+to the golden oracle (asserted in tests/test_wavefront.py).
+
+One wave = one sample per pixel (spp_batch is fixed at 1: sequential
+RNG chains need it, and R = n_pixels is also the sort sweet spot).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu import rng
+from raytpu.camera import Camera, get_ray
+from raytpu.config import RenderConfig
+from raytpu.scene import Scene
+from raytpu.kernels.megakernel import (
+    _TILE_H, _TILE_W, make_bounce_body, _pack_scene, _to_gamma,
+)
+
+_BLOCK = 32            # primary rays are laid out in 32x32 pixel blocks
+_LANES = _TILE_H * _TILE_W
+_DEAD_KEY = np.float32(1.0e9)
+_QBITS_XZ = 32         # position-key buckets along x/z
+_QBITS_Y = 8           # position-key buckets along y (height)
+# rays per kernel tile = _ROWS x 128.  Bigger tiles amortize the BVH
+# walk's serial per-node overhead (scalar loads + loop control between
+# vector ops) over more rays; sorting keeps even 4096-ray tiles
+# coherent.  Must be a multiple of 8.
+_ROWS_DEFAULT = 32
+
+
+def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows):
+    """Pallas kernel: run up to ``n_bounces`` bounces over one tile of
+    consecutive ray slots, then emit the next sort key."""
+
+    def kernel(scal_ref, sc_ref, *rest):
+        nd_ref = None
+        if n_nodes:
+            nd_ref, *rest = rest
+        ins = rest[:14]
+        outs = rest[14:28]
+        key_ref = rest[28]
+        alive_in = ins[12][:, :]
+        anylive = jnp.max(alive_in) > 0
+
+        @pl.when(jnp.logical_not(anylive))
+        def _():
+            for o, i in zip(outs, ins):
+                o[:, :] = i[:, :]
+            key_ref[:, :] = jnp.full(
+                (rows, _TILE_W), _DEAD_KEY, jnp.float32)
+
+        @pl.when(anylive)
+        def _():
+            dyn_nsph = scal_ref[0].astype(jnp.int32)
+            dyn_nodes = scal_ref[1].astype(jnp.int32)
+            dyn_bounces = scal_ref[2].astype(jnp.int32)
+            (ox, oy, oz, dx, dy, dz, cr, cg, cb,
+             rr, rg, rb, al, sdf) = (r[:, :] for r in ins)
+            sd = pltpu.bitcast(sdf, jnp.uint32)
+
+            bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph,
+                                      dyn_nodes, t_min)
+
+            def cond(st):
+                return (st[0] < dyn_bounces) & (jnp.max(st[13]) > 0)
+
+            st = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                  cr, cg, cb, rr, rg, rb, al, sd)
+            st = jax.lax.while_loop(cond, bounce, st)
+            (_, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+             rr, rg, rb, al, sd) = st
+
+            for o, v in zip(outs, (ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                                   rr, rg, rb, al)):
+                o[:, :] = v
+            outs[13][:, :] = pltpu.bitcast(sd, jnp.float32)
+
+            # sort key: direction octant MAJOR, then quantized origin
+            # cell (32 x 8 x 32 over the scene bbox; scal_ref[3:9] =
+            # lo.xyz, bins/extent.xyz).  Octant-major matters: with the
+            # octant in the low bits a sorted tile mixes all 8 direction
+            # cones and the tile-coherent BVH walk culls nothing.
+            qx = jnp.clip(((ox - scal_ref[3]) * scal_ref[6])
+                          .astype(jnp.int32), 0, _QBITS_XZ - 1)
+            qy = jnp.clip(((oy - scal_ref[4]) * scal_ref[7])
+                          .astype(jnp.int32), 0, _QBITS_Y - 1)
+            qz = jnp.clip(((oz - scal_ref[5]) * scal_ref[8])
+                          .astype(jnp.int32), 0, _QBITS_XZ - 1)
+            octant = (jnp.where(dx < 0, 4, 0) + jnp.where(dy < 0, 2, 0)
+                      + jnp.where(dz < 0, 1, 0))
+            cell = (((octant * _QBITS_XZ + qx) * _QBITS_XZ + qz)
+                    * _QBITS_Y + qy)
+            key_ref[:, :] = jnp.where(al > 0, cell.astype(jnp.float32),
+                                      _DEAD_KEY)
+
+    return kernel
+
+
+def _key_bounds(scene: Scene):
+    """Robust scene bbox for the position key: outlier-huge spheres
+    (e.g. r=1000 ground) would collapse every interesting hit into one
+    cell, so the box covers only spheres up to 10x the median radius.
+    Traced (jnp) so scenes can be jit arguments; only feeds the SORT KEY,
+    never the image values."""
+    center = jnp.asarray(scene.center, jnp.float32)
+    radius = jnp.abs(jnp.asarray(scene.radius, jnp.float32))
+    keep = radius <= 10.0 * jnp.maximum(jnp.median(radius), 1e-6)
+    big = jnp.float32(1e30)
+    lo = jnp.min(jnp.where(keep[:, None], center - radius[:, None], big),
+                 axis=0)
+    hi = jnp.max(jnp.where(keep[:, None], center + radius[:, None], -big),
+                 axis=0)
+    extent = jnp.clip(hi - lo, 1e-6, 1e6)
+    scale = (jnp.asarray([_QBITS_XZ, _QBITS_Y, _QBITS_XZ], jnp.float32)
+             / extent)
+    return lo, scale
+
+
+def _pad32(x: int) -> int:
+    return -(-x // _BLOCK) * _BLOCK
+
+
+def _decode_pid(pid, wp):
+    """Block-order slot index -> absolute (px, py) pixel coords."""
+    nbx = wp // _BLOCK
+    b = pid // _LANES
+    m = pid % _LANES
+    py = (b // nbx) * _BLOCK + m // _BLOCK
+    px = (b % nbx) * _BLOCK + m % _BLOCK
+    return px, py
+
+
+def _block_to_image(lin, hp, wp):
+    """(R, ...) block-order slots -> (hp, wp, ...) image layout."""
+    tail = lin.shape[1:]
+    nby, nbx = hp // _BLOCK, wp // _BLOCK
+    return (lin.reshape(nby, nbx, _BLOCK, _BLOCK, *tail)
+            .transpose(0, 2, 1, 3, *range(4, 4 + len(tail)))
+            .reshape(hp, wp, *tail))
+
+
+def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
+                           cfg: RenderConfig, interpret: bool,
+                           segments, tile_rows):
+    h, w = cfg.height, cfg.width
+    hp, wp = _pad32(h), _pad32(w)
+    R = hp * wp
+    rows = R // _TILE_W
+    trows = tile_rows or min(_ROWS_DEFAULT, rows)
+    while rows % trows:
+        trows //= 2
+    grid = (rows // trows,)
+    parallel = cfg.rng_mode == "parallel"
+    t_min = np.float32(cfg.t_min)
+    inv_w = np.float32(1.0 / (w - 1))
+    inv_h = np.float32(1.0 / (h - 1))
+
+    n = scene.count
+    if nodes is not None:
+        from raytpu.bvh import permute_scene
+        packed = _pack_scene(permute_scene(scene, perm))
+        nodes_t = nodes.T.astype(jnp.float32)
+        m = nodes.shape[0]
+    else:
+        packed = _pack_scene(scene)
+        nodes_t = None
+        m = 0
+    lo, scale = _key_bounds(scene)
+
+    kernel = _make_segment_kernel(n, m, t_min, trows)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    plane = pl.BlockSpec((trows, _TILE_W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    pshape = jax.ShapeDtypeStruct((rows, _TILE_W), jnp.float32)
+
+    def seg_call(planes, n_bounces):
+        scal = jnp.asarray(
+            [n, m, n_bounces, lo[0], lo[1], lo[2],
+             scale[0], scale[1], scale[2]], jnp.float32)
+        operands = [scal, packed]
+        in_specs = [smem, smem]
+        if m:
+            operands.append(nodes_t)
+            in_specs.append(smem)
+        operands += [p.reshape(rows, _TILE_W) for p in planes]
+        in_specs += [plane] * 14
+        outs = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=tuple([pshape] * 15),
+            in_specs=in_specs,
+            out_specs=tuple([plane] * 15),
+            interpret=interpret,
+        )(*operands)
+        return [o.reshape(R) for o in outs[:14]], outs[14].reshape(R)
+
+    pid0 = jnp.arange(R, dtype=jnp.int32)
+
+    def wave(carry, s):
+        pid, seed_carry, rad_r, rad_g, rad_b = carry
+        px, py = _decode_pid(pid, wp)
+        valid = (px < w) & (py < h)
+        if parallel:
+            sd = rng.fold_in(
+                rng.pixel_seed(px.astype(jnp.uint32),
+                               py.astype(jnp.uint32)),
+                s.astype(jnp.uint32))
+        else:
+            sd = seed_carry
+        fx = px.astype(jnp.float32)
+        fy = py.astype(jnp.float32)
+        (j1a, _), sd = rng.hash2(sd)
+        (_, j2b), sd = rng.hash2(sd)
+        u = (fx + j1a * 1.1) * inv_w
+        v = (fy + j2b * 1.1) * inv_h
+        (ox, oy, oz), (dx, dy, dz), sd = get_ray(cam, u, v, sd)
+
+        one = jnp.ones((R,), jnp.float32)
+        alive = jnp.where(valid, 1.0, 0.0)
+        planes = [ox, oy, oz, dx, dy, dz, one, one, one,
+                  rad_r, rad_g, rad_b, alive,
+                  jax.lax.bitcast_convert_type(sd, jnp.float32)]
+        for i, seg in enumerate(segments):
+            planes, key = seg_call(planes, seg)
+            if i < len(segments) - 1:
+                sorted_ops = jax.lax.sort(
+                    [key, pid.astype(jnp.float32), *planes], num_keys=1)
+                pid = sorted_ops[1].astype(jnp.int32)
+                planes = list(sorted_ops[2:])
+        rad_r, rad_g, rad_b = planes[9], planes[10], planes[11]
+        seed_out = jax.lax.bitcast_convert_type(planes[13], jnp.uint32)
+        return (pid, seed_out, rad_r, rad_g, rad_b), None
+
+    px0, py0 = _decode_pid(pid0, wp)
+    seed0 = rng.pixel_seed(px0.astype(jnp.uint32), py0.astype(jnp.uint32))
+    zero = jnp.zeros((R,), jnp.float32)
+    carry = (pid0, seed0, zero, zero, zero)
+    carry, _ = jax.lax.scan(wave, carry,
+                            jnp.arange(cfg.spp, dtype=jnp.int32))
+    pid, _, rad_r, rad_g, rad_b = carry
+
+    # ONE unsort: scatter per-slot radiance sums back to block order
+    lin = jnp.zeros((R, 3), jnp.float32).at[pid].set(
+        jnp.stack([rad_r, rad_g, rad_b], axis=-1), unique_indices=True)
+    img = _block_to_image(lin, hp, wp)[:h, :w]
+    return _to_gamma(img * np.float32(1.0 / cfg.spp), cfg.gamma)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _render_wavefront(scene, cam, nodes, perm, cfg, interpret, segments,
+                      tile_rows, vis_w):
+    return _render_wavefront_impl(scene, cam, nodes, perm, cfg,
+                                  interpret, segments, tile_rows)
+
+
+def _wf_fwd(scene, cam, nodes, perm, cfg, interpret, segments, tile_rows,
+            vis_w):
+    img = _render_wavefront_impl(scene, cam, nodes, perm, cfg,
+                                 interpret, segments, tile_rows)
+    return img, (scene, cam, nodes, perm)
+
+
+def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, res, ct):
+    # backward: the fused Pallas VJP kernel (gradkernel.py) — shared
+    # with the megakernel path; the wavefront is a forward-schedule
+    # change only, so the same per-pixel reverse sweep applies.
+    from raytpu.kernels.megakernel import _golden_bwd
+    scene, cam, nodes, perm = res
+    if not interpret:
+        from raytpu.kernels import gradkernel
+        bvh = None
+        if nodes is not None:
+            from raytpu.bvh import BVH
+            bvh = BVH(nodes=nodes, perm=perm)
+        _, ds, dc = gradkernel.render_pallas_vjp(
+            scene, cam, cfg, ct, interpret=False, bvh=bvh, vis_w=vis_w)
+    else:
+        ds, dc = _golden_bwd(cfg, (scene, cam), ct, vis_w)
+    return (ds, dc, jax.tree.map(jnp.zeros_like, nodes),
+            jax.tree.map(jnp.zeros_like, perm))
+
+
+_render_wavefront.defvjp(_wf_fwd, _wf_bwd)
+
+
+def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
+                     bvh=None, segments=None,
+                     interpret: bool | None = None,
+                     tile_rows: int | None = None,
+                     vis_w: float = 0.0) -> jnp.ndarray:
+    """Full-frame sorted-wavefront render -> (H, W, 3) f32 image.
+
+    Bit-identical (to 1 ulp; see tests/test_wavefront.py) to
+    ``golden.render_golden`` — same math, same RNG streams, same
+    per-pixel accumulation order.  ``segments`` is the tuple of
+    bounce-segment lengths (summing to cfg.depth) between which rays
+    are re-sorted; default ``(1, depth-1)`` sorts once after the first
+    bounce.  Pass a BVH for large scenes.  ``tile_rows`` sets the rays
+    -per-kernel-tile (rows x 128); larger tiles amortize traversal
+    overhead, smaller ones maximize coherence.  Differentiable: the
+    backward pass is the fused VJP kernel (``vis_w > 0`` adds
+    silhouette gradients).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if segments is None:
+        segments = (1, cfg.depth - 1) if cfg.depth > 1 else (cfg.depth,)
+    segments = tuple(int(s) for s in segments)
+    assert sum(segments) == cfg.depth, (segments, cfg.depth)
+    nodes = bvh.nodes if bvh is not None else None
+    perm = bvh.perm if bvh is not None else None
+    return _render_wavefront(scene, cam, nodes, perm, cfg,
+                             bool(interpret), segments,
+                             None if tile_rows is None else int(tile_rows),
+                             float(vis_w))

@@ -86,3 +86,39 @@ def test_bvh_path_matches_autodiff():
         a, bb = np.array(getattr(ds, k)), np.array(getattr(gs, k))
         scale = max(np.abs(bb).max(), 1e-8)
         assert np.abs(a - bb).max() / scale < 1e-4, k
+
+
+def test_silhouette_vis_w_matches_adjoint():
+    """vis_w > 0 in the fused kernel reproduces the XLA adjoint's
+    silhouette (boundary) gradients — hit-side and near-miss terms."""
+    from raytpu import adjoint
+    cfg = RenderConfig(width=64, height=32, spp=2, depth=3)
+    scene = raytpu.make_scene([
+        ((0.0, -100.5, -1.0), 100.0, 0, (0.5, 0.5, 0.5), 0.0),
+        ((0.0, 0.0, -1.0), 0.5, 0, (0.7, 0.3, 0.3), 0.0),
+        ((0.7, 0.1, -1.2), 0.4, 1, (0.8, 0.6, 0.2), 0.1),
+    ])
+    cam = raytpu.make_camera((0.0, 0.3, 1.5), (0.0, 0.0, -1.0), vfov=45.0,
+                             aspect=cfg.aspect, aperture=0.25,
+                             focus_dist=2.5)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    vis_w = 0.005
+
+    img_ref = golden.render_golden(scene, cam, cfg)
+    ct = 2.0 * (img_ref - target) / img_ref.size
+    _, ds, _ = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
+                                            vis_w=vis_w)
+
+    def loss(s):
+        img = adjoint.render_golden_adjoint(s, cam, cfg, vis_w)
+        return jnp.mean((img - target) ** 2)
+
+    gs = jax.grad(loss, allow_int=True)(scene)
+    for k in ("center", "radius"):
+        a, b = np.array(getattr(ds, k)), np.array(getattr(gs, k))
+        scale = max(np.abs(b).max(), 1e-8)
+        assert np.abs(a - b).max() / scale < 2e-3, (
+            k, np.abs(a - b).max() / scale)
+    # the boundary terms must actually be present (differ from vis_w=0)
+    _, ds0, _ = gradkernel.render_pallas_vjp(scene, cam, cfg, ct)
+    assert np.abs(np.array(ds.center) - np.array(ds0.center)).max() > 1e-6
