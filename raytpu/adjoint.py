@@ -49,7 +49,8 @@ def _gather_leaves(scene: Scene, idx):
             scene.mat_param[idx])
 
 
-def _bounce_math(ro, rd, thr, gathered, mat, seed, masks, t_min):
+def _bounce_math(ro, rd, thr, gathered, mat, seed, masks, t_min,
+                 scatter_mode: str = "v2"):
     """Continuous per-bounce math against the ONE gathered sphere.
 
     ro/rd/thr: incoming ray origin/direction/throughput (SoA tuples).
@@ -107,10 +108,34 @@ def _bounce_math(ro, rd, thr, gathered, mat, seed, masks, t_min):
     sz = jax.lax.stop_gradient(sz)
     h1 = jax.lax.stop_gradient(h1)
 
-    ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
-    rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
-    mdx, mdy, mdz = _normalize3(rx + param * sx, ry + param * sy,
-                                rz + param * sz)
+    if scatter_mode == "v1":
+        # v1 materials (Shader_RT.fx:217-243); flip/near-zero are
+        # discrete events -> detached, fuzz saturation stays continuous
+        flip = jax.lax.stop_gradient(_dot3(sx, sy, sz, nx, ny, nz) > 0)
+        hxx = jnp.where(flip, sx, -sx)
+        hyy = jnp.where(flip, sy, -sy)
+        hzz = jnp.where(flip, sz, -sz)
+        ldx = nx + hxx
+        ldy = ny + hyy
+        ldz = nz + hzz
+        s_eps = 1e-8
+        near0 = jax.lax.stop_gradient(
+            (jnp.abs(ldx) < s_eps) & (jnp.abs(ldy) < s_eps)
+            & (jnp.abs(ldz) < s_eps))
+        ddx = jnp.where(near0, nx, ldx)
+        ddy = jnp.where(near0, ny, ldy)
+        ddz = jnp.where(near0, nz, ldz)
+        u1x, u1y, u1z = _normalize3(dx, dy, dz)
+        rx, ry, rz = _reflect(u1x, u1y, u1z, nx, ny, nz)
+        fz = jnp.clip(param, 0.0, 1.0)
+        mdx = rx + fz * hxx
+        mdy = ry + fz * hyy
+        mdz = rz + fz * hzz
+    else:
+        ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+        rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
+        mdx, mdy, mdz = _normalize3(rx + param * sx, ry + param * sy,
+                                    rz + param * sz)
 
     is_glass = mat == 2
     ior = jnp.where(is_glass, jnp.maximum(param, 1e-3), 1.5)
@@ -178,9 +203,9 @@ def _near_miss_sweep(scene: Scene, ro, rd):
     return m_idx, has_nm
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def trace_adjoint(scene: Scene, ro, rd, seed, depth: int, t_min: float,
-                  vis_w: float = 0.0):
+                  vis_w: float = 0.0, scatter_mode: str = "v2"):
     """Drop-in for golden.trace with the hand-structured backward.
 
     ``vis_w > 0`` additionally gives the backward pass **silhouette
@@ -190,11 +215,13 @@ def trace_adjoint(scene: Scene, ro, rd, seed, depth: int, t_min: float,
     in world units — the term FD measures across silhouettes and the
     detached-discrete policy otherwise drops.  Use for geometry
     optimization (BASELINE config 3)."""
-    out, _ = _trace_fwd_impl(scene, ro, rd, seed, depth, t_min, vis_w)
+    out, _ = _trace_fwd_impl(scene, ro, rd, seed, depth, t_min, vis_w,
+                             scatter_mode)
     return out
 
 
-def _trace_fwd_impl(scene, ro, rd, seed, depth, t_min, vis_w=0.0):
+def _trace_fwd_impl(scene, ro, rd, seed, depth, t_min, vis_w=0.0,
+                    scatter_mode="v2"):
     rox, roy, roz = ro
     rdx, rdy, rdz = rd
     zero = rox * 0.0
@@ -221,7 +248,7 @@ def _trace_fwd_impl(scene, ro, rd, seed, depth, t_min, vis_w=0.0):
         gathered = _gather_leaves(scene, idx)
         (n_ro, n_rd, n_thr, out) = _bounce_math(
             (ox, oy, oz), (dx, dy, dz), (cr, cg, cb), gathered, mat, sd,
-            (scat, missed), t_min)
+            (scat, missed), t_min, scatter_mode)
         (sx3, sy3, sz3) = n_rd
         _, sd_new = rng.random_in_unit_sphere(sd)
 
@@ -240,9 +267,9 @@ def _trace_fwd_impl(scene, ro, rd, seed, depth, t_min, vis_w=0.0):
     return ((rr, rg, rb), sd), residuals
 
 
-def _trace_fwd(scene, ro, rd, seed, depth, t_min, vis_w):
+def _trace_fwd(scene, ro, rd, seed, depth, t_min, vis_w, scatter_mode):
     out, residuals = _trace_fwd_impl(scene, ro, rd, seed, depth, t_min,
-                                     vis_w)
+                                     vis_w, scatter_mode)
     ((rr, rg, rb), _) = out
     return out, (scene, residuals, (rr, rg, rb))
 
@@ -251,7 +278,7 @@ def _sigmoid(x):
     return 1.0 / (1.0 + jnp.exp(-x))
 
 
-def _trace_bwd(depth, t_min, vis_w, saved, ct):
+def _trace_bwd(depth, t_min, vis_w, scatter_mode, saved, ct):
     scene, residuals, (v_r, v_g, v_b) = saved
     (ct_r, ct_g, ct_b), _ = ct  # no cotangent flows through the seed
 
@@ -284,7 +311,7 @@ def _trace_bwd(depth, t_min, vis_w, saved, ct):
 
         def f(ro, rd, thr, gathered):
             return _bounce_math(ro, rd, thr, gathered, mat, sd,
-                                (scat, missed), t_min)
+                                (scat, missed), t_min, scatter_mode)
 
         _, vjp = jax.vjp(f, (ox, oy, oz), (dx, dy, dz), (cr, cg, cb),
                          gathered)
@@ -401,7 +428,7 @@ def render_pixels_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig,
         v = (fy + j2b * 1.1) * inv_h
         ro, rd, sd = get_ray(cam, u, v, sd)
         (r, g, b), sd = trace_adjoint(scene, ro, rd, sd, cfg.depth,
-                                      cfg.t_min, vis_w)
+                                      cfg.t_min, vis_w, cfg.scatter_mode)
         return (acc_r + r, acc_g + g, acc_b + b, sd), None
 
     (acc_r, acc_g, acc_b, _), _ = jax.lax.scan(
@@ -470,7 +497,7 @@ def render_golden_adjoint(scene: Scene, cam: Camera, cfg: RenderConfig,
         v = (fy + j2b * 1.1) * inv_h
         ro, rd, sd = get_ray(cam, u, v, sd)
         (r, g, b), _ = trace_adjoint(scene, ro, rd, sd, cfg.depth,
-                                     cfg.t_min, vis_w)
+                                     cfg.t_min, vis_w, cfg.scatter_mode)
         return jnp.stack([r, g, b], axis=-1)
 
     sums = jax.lax.map(

@@ -20,6 +20,11 @@ class RenderConfig:
     t_min: float = 1e-3    # ray epsilon (ref: ShaderCompute.hlsl:262)
     gamma: float = 2.2     # output gamma (ref toGamma: ShaderCompute.hlsl:99-103)
     chunk_pixels: int = 16384  # pixels per golden-renderer chunk (memory bound)
+    # "v2": the compute-shader materials (normalized diffuse, sphere
+    # -sample fuzz); "v1": the pixel-shader generation's materials
+    # (ref: Shader_RT.fx:217-243) — hemisphere diffuse with a near-zero
+    # guard, saturated fuzz on an unnormalized metal bounce
+    scatter_mode: str = "v2"
     # "sequential": one seed chained through a pixel's samples (the
     # reference's inout-seed semantics, ShaderCompute.hlsl:304-310);
     # "parallel": independent per-(pixel, sample) counter streams --
@@ -49,4 +54,4 @@ REFERENCE_GOLDEN = RenderConfig(width=1024, height=576, spp=20, depth=12)
 # v1 pixel shader: 640x480, 1 spp, fixed depth 25, sqrt gamma
 # (ref: main.cpp:83, Shader_RT.fx:392,430,448-450)
 REFERENCE_V1 = RenderConfig(width=640, height=480, spp=1, depth=25,
-                            gamma=2.0)
+                            gamma=2.0, scatter_mode="v1")

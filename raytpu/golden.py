@@ -136,13 +136,23 @@ def _schlick(cosine, ref_idx):
     return r0 + (1.0 - r0) * (m * m * m * m * m)
 
 
-def scatter(scene: Scene, rd, p, normal, front, idx, seed):
+def scatter(scene: Scene, rd, p, normal, front, idx, seed,
+            mode: str = "v2"):
     """Material scatter (ref: ShaderCompute.hlsl:207-252).
 
     Returns (scatter_ok, atten SoA, new_dir SoA, new_seed).  All three
     material branches are computed and selected by mask; every branch
     consumes the SAME single hash draw, so the seed advance (+0.2) is
     branch-independent — see module docstring.
+
+    ``mode="v1"`` selects the pixel-shader generation's material
+    semantics (ref: Shader_RT.fx:217-243): diffuse scatters via
+    ``normal + random_in_hemisphere`` (the sphere draw flipped into the
+    normal's hemisphere) with a near-zero degenerate guard and NO
+    normalization; metal reflects the NORMALIZED incoming direction,
+    ``saturate``s the fuzz, adds the hemisphere draw and does not
+    normalize.  Dielectric and the draw count are identical in both
+    generations.
     """
     rdx, rdy, rdz = rd
     nx, ny, nz = normal
@@ -153,12 +163,39 @@ def scatter(scene: Scene, rd, p, normal, front, idx, seed):
     (sx, sy, sz), seed_new = rng.random_in_unit_sphere(seed)
     h1, _ = rng.hash1(seed)  # same underlying draw, same new seed
 
-    # -- diffuse (hlsl:209-217): dir = normalize(normal + rand_sphere)
-    ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+    if mode == "v1":
+        # hemisphere flip (Shader_RT.fx:151-163)
+        flip = _dot3(sx, sy, sz, nx, ny, nz) > 0
+        hxx = jnp.where(flip, sx, -sx)
+        hyy = jnp.where(flip, sy, -sy)
+        hzz = jnp.where(flip, sz, -sz)
+        # -- v1 lambert (Shader_RT.fx:217-229): n + hemisphere, near
+        # -zero guard, unnormalized
+        ldx = nx + hxx
+        ldy = ny + hyy
+        ldz = nz + hzz
+        s_eps = 1e-8
+        near0 = ((jnp.abs(ldx) < s_eps) & (jnp.abs(ldy) < s_eps)
+                 & (jnp.abs(ldz) < s_eps))
+        ddx = jnp.where(near0, nx, ldx)
+        ddy = jnp.where(near0, ny, ldy)
+        ddz = jnp.where(near0, nz, ldz)
+        # -- v1 metal (Shader_RT.fx:233-241): reflect(normalize(rd)) +
+        # saturate(fuzz) * hemisphere, unnormalized
+        u1x, u1y, u1z = _normalize3(rdx, rdy, rdz)
+        rx, ry, rz = _reflect(u1x, u1y, u1z, nx, ny, nz)
+        fz = jnp.clip(param, 0.0, 1.0)
+        mdx = rx + fz * hxx
+        mdy = ry + fz * hyy
+        mdz = rz + fz * hzz
+    else:
+        # -- diffuse (hlsl:209-217): dir = normalize(normal + rand_sphere)
+        ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
 
-    # -- metal (hlsl:219-227): dir = normalize(reflect(rd, n) + fuzz*rand)
-    rx, ry, rz = _reflect(rdx, rdy, rdz, nx, ny, nz)
-    mdx, mdy, mdz = _normalize3(rx + param * sx, ry + param * sy, rz + param * sz)
+        # -- metal (hlsl:219-227): dir = normalize(reflect(rd, n) + fuzz*rand)
+        rx, ry, rz = _reflect(rdx, rdy, rdz, nx, ny, nz)
+        mdx, mdy, mdz = _normalize3(rx + param * sx, ry + param * sy,
+                                    rz + param * sz)
 
     # -- dielectric (hlsl:229-249). Non-glass lanes get a safe IOR so the
     # unselected branch stays finite (0-fuzz metals would otherwise produce
@@ -199,7 +236,8 @@ def _sky(rdx, rdy, rdz):
     return 1.0 - 0.5 * t, 1.0 - 0.3 * t, 1.0  # lerp(white, (.5,.7,1.))
 
 
-def trace(scene: Scene, ro, rd, seed, depth: int, t_min: float):
+def trace(scene: Scene, ro, rd, seed, depth: int, t_min: float,
+          scatter_mode: str = "v2"):
     """Iterative bounce loop (ref: sample_color, hlsl:255-287).
 
     SoA over pixel shape S; returns ((r,g,b), seed).  Dead lanes are masked;
@@ -229,7 +267,8 @@ def trace(scene: Scene, ro, rd, seed, depth: int, t_min: float):
         py = oy + t * dy
         pz = oz + t * dz
         ok, (ar, ag, ab), (sx, sy, sz), sd_new = scatter(
-            scene, (dx, dy, dz), (px, py, pz), normal, front, idx, sd)
+            scene, (dx, dy, dz), (px, py, pz), normal, front, idx, sd,
+            scatter_mode)
 
         scat = alive & hit_any & ok
         absorbed = alive & hit_any & ~ok
@@ -291,7 +330,8 @@ def accumulate_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
         u = (fx + j1a * 1.1) * inv_w
         v = (fy + j2b * 1.1) * inv_h
         ro, rd, sd = get_ray(cam, u, v, sd)
-        return trace(scene, ro, rd, sd, cfg.depth, cfg.t_min)
+        return trace(scene, ro, rd, sd, cfg.depth, cfg.t_min,
+                     cfg.scatter_mode)
 
     def sample(carry, s):
         acc_r, acc_g, acc_b, sd = carry

@@ -54,7 +54,8 @@ from raytpu.kernels.megakernel import (
 )
 
 
-def _bounce_f(ro, rd, thr, attrs, masks, sd, t_min):
+def _bounce_f(ro, rd, thr, attrs, masks, sd, t_min,
+              scatter_mode: str = "v2"):
     """Per-bounce continuous math vs the pre-selected sphere (the Pallas
     twin of adjoint._bounce_math, SoA scalars).  Differentiable in
     (ro, rd, thr, attrs); masks/draws are detached."""
@@ -101,10 +102,34 @@ def _bounce_f(ro, rd, thr, attrs, masks, sd, t_min):
     sz = jax.lax.stop_gradient(sz)
     h1 = jax.lax.stop_gradient(h1)
 
-    ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
-    rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
-    mdx, mdy, mdz = _normalize3(rx + s_mp * sx, ry + s_mp * sy,
-                                rz + s_mp * sz)
+    if scatter_mode == "v1":
+        # v1 materials (Shader_RT.fx:217-243); discrete flip/near-zero
+        # detached, saturation continuous (adjoint._bounce_math twin)
+        flip = jax.lax.stop_gradient(_dot3(sx, sy, sz, nx, ny, nz) > 0)
+        hxx = jnp.where(flip, sx, -sx)
+        hyy = jnp.where(flip, sy, -sy)
+        hzz = jnp.where(flip, sz, -sz)
+        ldx = nx + hxx
+        ldy = ny + hyy
+        ldz = nz + hzz
+        s_eps = 1e-8
+        near0 = jax.lax.stop_gradient(
+            (jnp.abs(ldx) < s_eps) & (jnp.abs(ldy) < s_eps)
+            & (jnp.abs(ldz) < s_eps))
+        ddx = jnp.where(near0, nx, ldx)
+        ddy = jnp.where(near0, ny, ldy)
+        ddz = jnp.where(near0, nz, ldz)
+        u1x, u1y, u1z = _normalize3(dx, dy, dz)
+        rx, ry, rz = _reflect(u1x, u1y, u1z, nx, ny, nz)
+        fz = jnp.clip(s_mp, 0.0, 1.0)
+        mdx = rx + fz * hxx
+        mdy = ry + fz * hyy
+        mdz = rz + fz * hzz
+    else:
+        ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+        rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
+        mdx, mdy, mdz = _normalize3(rx + s_mp * sx, ry + s_mp * sy,
+                                    rz + s_mp * sz)
 
     is_glass = s_mt == 2.0
     ior = jnp.where(is_glass, jnp.maximum(s_mp, 1e-3), 1.5)
@@ -403,7 +428,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                         res_ref[d, _R_ATTR0 + k] = attrs[k]
                 n_ro, n_rd, n_thr, out = _bounce_f(
                     (ox, oy, oz), (dx, dy, dz), (cr, cg, cb), attrs,
-                    (scat, missed), sd_t, t_min)
+                    (scat, missed), sd_t, t_min, cfg.scatter_mode)
                 _, sd_new = rng.random_in_unit_sphere(sd_t)
                 rr = rr + out[0]
                 rg = rg + out[1]
@@ -516,7 +541,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
                 def f(ro, rd, thr, attrs):
                     return _bounce_f(ro, rd, thr, attrs,
-                                     (scat, missed), sd_t, t_min)
+                                     (scat, missed), sd_t, t_min,
+                                     cfg.scatter_mode)
 
                 _, vjp = jax.vjp(f, (ox, oy, oz), (dx, dy, dz),
                                  (cr, cg, cb), attrs)

@@ -101,7 +101,8 @@ def _to_gamma(x, gamma):
     return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
 
 
-def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min):
+def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
+                     scatter_mode: str = "v2"):
     """ONE bounce of the path-trace state machine over an (8, 128) tile.
 
     Returns ``body(state) -> state`` with state
@@ -280,11 +281,35 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min):
             return (d + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
                     rr, rg, rb, alive_f, sd)
 
-        ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
+        if scatter_mode == "v1":
+            # v1 materials (Shader_RT.fx:217-243): hemisphere diffuse
+            # with near-zero guard, saturated fuzz, both unnormalized —
+            # op-for-op golden.scatter(mode="v1")
+            flip = _dot3(sx, sy, sz, nx, ny, nz) > 0
+            hxx = jnp.where(flip, sx, -sx)
+            hyy = jnp.where(flip, sy, -sy)
+            hzz = jnp.where(flip, sz, -sz)
+            ldx = nx + hxx
+            ldy = ny + hyy
+            ldz = nz + hzz
+            s_eps = 1e-8
+            near0 = ((jnp.abs(ldx) < s_eps) & (jnp.abs(ldy) < s_eps)
+                     & (jnp.abs(ldz) < s_eps))
+            ddx = jnp.where(near0, nx, ldx)
+            ddy = jnp.where(near0, ny, ldy)
+            ddz = jnp.where(near0, nz, ldz)
+            u1x, u1y, u1z = _normalize3(dx, dy, dz)
+            rx, ry, rz = _reflect(u1x, u1y, u1z, nx, ny, nz)
+            fz = jnp.clip(h_mp, 0.0, 1.0)
+            mdx = rx + fz * hxx
+            mdy = ry + fz * hyy
+            mdz = rz + fz * hzz
+        else:
+            ddx, ddy, ddz = _normalize3(nx + sx, ny + sy, nz + sz)
 
-        rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
-        mdx, mdy, mdz = _normalize3(
-            rx + h_mp * sx, ry + h_mp * sy, rz + h_mp * sz)
+            rx, ry, rz = _reflect(dx, dy, dz, nx, ny, nz)
+            mdx, mdy, mdz = _normalize3(
+                rx + h_mp * sx, ry + h_mp * sy, rz + h_mp * sz)
 
         is_glass = h_mt == 2.0
         ior = jnp.where(is_glass, jnp.maximum(h_mp, 1e-3), 1.5)
@@ -421,7 +446,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                      (n_nodes if "nodes" in _STATIC_BOUNDS
                       else cam_ref[22].astype(jnp.int32)))
         bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes,
-                                  t_min)
+                                  t_min, cfg.scatter_mode)
 
         def trace_one(ox, oy, oz, dx, dy, dz, sd):
             """Bounce loop with whole-tile early exit (golden.trace)."""

@@ -66,7 +66,8 @@ _QBITS_Y = 8           # position-key buckets along y (height)
 _ROWS_DEFAULT = 32
 
 
-def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows):
+def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
+                         scatter_mode: str = "v2"):
     """Pallas kernel: run up to ``n_bounces`` bounces over one tile of
     consecutive ray slots, then emit the next sort key."""
 
@@ -97,7 +98,7 @@ def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows):
             sd = pltpu.bitcast(sdf, jnp.uint32)
 
             bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph,
-                                      dyn_nodes, t_min)
+                                      dyn_nodes, t_min, scatter_mode)
 
             def cond(st):
                 return (st[0] < dyn_bounces) & (jnp.max(st[13]) > 0)
@@ -205,7 +206,7 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         m = 0
     lo, scale = _key_bounds(scene)
 
-    kernel = _make_segment_kernel(n, m, t_min, trows)
+    kernel = _make_segment_kernel(n, m, t_min, trows, cfg.scatter_mode)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = pl.BlockSpec((trows, _TILE_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)

@@ -111,7 +111,8 @@ def hit_world(spheres, ro, rd, t_min, t_max):
     return hit, closest, best
 
 
-def render_pixel(scene, cam, px, py, width, height, spp, depth):
+def render_pixel(scene, cam, px, py, width, height, spp, depth,
+                 scatter_mode="v2"):
     """Render one pixel with float64 geometry / f32 RNG (ref: CSMain).
 
     scene: dict(center (N,3), radius (N,), mat_type (N,), albedo (N,3),
@@ -137,13 +138,19 @@ def render_pixel(scene, cam, px, py, width, height, spp, depth):
         rd = (np.asarray(cam["lower_left"], np.float64)
               + u * np.asarray(cam["horizontal"], np.float64)
               + v * np.asarray(cam["vertical"], np.float64) - ro)
-        col, seed = _sample_color(scene, spheres, ro, rd, seed, depth)
+        col, seed = _sample_color(scene, spheres, ro, rd, seed, depth,
+                                  scatter_mode)
         acc += col
     acc /= spp
     return np.clip(acc, 0, None) ** (1.0 / 2.2)
 
 
-def _sample_color(scene, spheres, ro, rd, seed, depth):
+def _hemisphere(s, n):
+    # Shader_RT.fx:151-163: sphere sample flipped into n's hemisphere
+    return s if s @ n > 0 else -s
+
+
+def _sample_color(scene, spheres, ro, rd, seed, depth, scatter_mode="v2"):
     col = np.ones(3)
     for _ in range(depth):
         hit, t, idx = hit_world(spheres, ro, rd, 1e-3, np.inf)
@@ -161,14 +168,29 @@ def _sample_color(scene, spheres, ro, rd, seed, depth):
         mat = int(scene["mat_type"][idx])
         if mat == 0:
             s, seed = random_in_unit_sphere(seed)
-            d = n + s
-            d = d / np.linalg.norm(d)
+            if scatter_mode == "v1":
+                # Shader_RT.fx:217-229: n + hemisphere, near-zero guard,
+                # UNnormalized
+                d = n + _hemisphere(s, n)
+                if (abs(d) < 1e-8).all():
+                    d = n.copy()
+            else:
+                d = n + s
+                d = d / np.linalg.norm(d)
             col = col * np.asarray(scene["albedo"][idx])
         elif mat == 1:
             s, seed = random_in_unit_sphere(seed)
-            refl = rd - 2 * (rd @ n) * n
-            d = refl + scene["mat_param"][idx] * s
-            d = d / np.linalg.norm(d)
+            if scatter_mode == "v1":
+                # Shader_RT.fx:233-241: reflect the NORMALIZED dir,
+                # saturate fuzz, hemisphere sample, no normalize
+                ud = rd / np.linalg.norm(rd)
+                refl = ud - 2 * (ud @ n) * n
+                fz = min(max(float(scene["mat_param"][idx]), 0.0), 1.0)
+                d = refl + fz * _hemisphere(s, n)
+            else:
+                refl = rd - 2 * (rd @ n) * n
+                d = refl + scene["mat_param"][idx] * s
+                d = d / np.linalg.norm(d)
             col = col * np.asarray(scene["albedo"][idx])
         elif mat == 2:
             ior = float(scene["mat_param"][idx])
