@@ -24,8 +24,11 @@ import sys
 SCENES = ("config1", "test", "random", "final")
 
 
-def _build_scene(name: str, seed: int):
+def _build_scene(name: str, seed: int, scene_file=None):
     import raytpu
+    if scene_file:
+        from raytpu.scene_io import load_scene
+        return load_scene(scene_file)
     if name == "config1":
         return raytpu.config1_world()
     if name == "test":
@@ -51,22 +54,21 @@ def cmd_render(args) -> int:
     from raytpu.config import RenderConfig
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
-                       depth=args.depth, rng_mode=args.rng_mode)
-    scene = _build_scene(args.scene, args.seed)
+                       depth=args.depth, rng_mode=args.rng_mode,
+                       scatter_mode=args.scatter_mode)
+    scene = _build_scene(args.scene, args.seed, args.scene_file)
     cam = _build_camera(args, cfg.aspect)
 
     bvh = None
     if args.bvh:
-        import jax
-        backend = args.backend
-        if backend == "auto":
-            backend = ("pallas" if jax.devices()[0].platform == "tpu"
-                       else "golden")
-        if backend != "pallas":
+        from raytpu.render import _backend
+        if _backend(args.backend, bvh=True) not in ("pallas",
+                                                    "wavefront"):
             # consistent on both paths: the golden oracle is brute-force
             # by design, so a silently ignored --bvh would misreport what
             # was measured (ADVICE round 1)
-            raise SystemExit("--bvh requires the pallas backend")
+            raise SystemExit(
+                "--bvh requires the pallas or wavefront backend")
         from raytpu.bvh import build_bvh
         bvh = build_bvh(scene)
 
@@ -77,6 +79,9 @@ def cmd_render(args) -> int:
         if backend == "auto":
             backend = ("pallas" if jax.devices()[0].platform == "tpu"
                        else "golden")
+        if backend == "wavefront":
+            raise SystemExit(
+                "--progressive supports golden/pallas backends")
         last = None
         for state, img in progressive.render_progressive(
                 scene, cam, cfg, batch=args.progressive,
@@ -161,6 +166,9 @@ def main(argv=None) -> int:
 
     r = sub.add_parser("render", help="render a scene to an image file")
     r.add_argument("--scene", choices=SCENES, default="test")
+    r.add_argument("--scene-file", default=None, metavar="JSON",
+                   help="load the scene from a JSON file "
+                        "(raytpu.scene_io schema; overrides --scene)")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--width", type=int, default=400)
     r.add_argument("--height", type=int, default=200)
@@ -173,8 +181,14 @@ def main(argv=None) -> int:
     r.add_argument("--vfov", type=float, default=20.0)
     r.add_argument("--aperture", type=float, default=0.0)
     r.add_argument("--focus-dist", type=float, default=None)
-    r.add_argument("--backend", choices=("auto", "golden", "pallas"),
-                   default="auto")
+    r.add_argument("--backend",
+                   choices=("auto", "golden", "pallas", "wavefront"),
+                   default="auto",
+                   help="auto = wavefront for --bvh scenes on TPU, "
+                        "else pallas on TPU, golden elsewhere")
+    r.add_argument("--scatter-mode", choices=("v2", "v1"), default="v2",
+                   help="material semantics generation (v1 = the pixel"
+                        "-shader reference's hemisphere diffuse etc.)")
     r.add_argument("--rng-mode", choices=("sequential", "parallel"),
                    default="sequential",
                    help="sequential = reference-parity seed chain; "

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -40,8 +41,11 @@ from raytpu.camera import Camera, get_ray
 from raytpu.config import RenderConfig
 from raytpu.scene import Scene
 
-_INF = jnp.float32(jnp.inf)
-_SAFE_EPS = jnp.float32(1e-20)
+# numpy scalars, NOT jnp: creating a jnp array at import time would
+# initialize the XLA backend as a side effect of `import raytpu`, which
+# breaks jax.distributed.initialize() in multi-host entry points
+_INF = np.float32(np.inf)
+_SAFE_EPS = np.float32(1e-20)
 
 
 def _dot3(ax, ay, az, bx, by, bz):

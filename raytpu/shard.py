@@ -16,9 +16,11 @@ numthreads).  The TPU-native scaling story (SURVEY.md §2.5) is:
   ``jax.lax.psum`` rides ICI (intra-slice) / DCN (multi-host).  XLA
   overlaps the reduction with the tail of the backward sweep.
 
-Multi-host entry: call ``jax.distributed.initialize()`` before
-``make_mesh()``; the mesh spans all processes' devices and shard_map does
-the rest — no per-host logic needed here.
+Multi-host entry: call :func:`init_distributed` (a
+``jax.distributed.initialize`` wrapper) before ``make_mesh()``; the mesh
+then spans all processes' devices and shard_map does the rest.  The
+two-process CPU test (tests/test_multihost.py) exercises this path end
+to end without pod hardware.
 """
 
 from __future__ import annotations
@@ -36,6 +38,35 @@ from raytpu.scene import Scene
 from raytpu import golden
 
 AXIS = "px"
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None,
+                     cpu_collectives: str | None = None) -> None:
+    """Initialize multi-host JAX before building a mesh.
+
+    Thin wrapper over ``jax.distributed.initialize``: on TPU pods the
+    arguments auto-detect from the environment (call with no args); for
+    the CPU-backend multi-process test path pass coordinator/count/id
+    and ``cpu_collectives="gloo"``.  Safe to call once per process;
+    afterwards ``make_mesh()`` spans every process's devices and the
+    sharded renderers / train steps work unchanged (their collectives
+    ride ICI on a pod, gloo/DCN otherwise).
+
+    Validated without a pod by tests/test_multihost.py: two CPU
+    processes render one frame (one slab each) and psum gradients —
+    both bit-match the single-process result.
+    """
+    if cpu_collectives:
+        jax.config.update("jax_cpu_collectives_implementation",
+                          cpu_collectives)
+    kwargs = {}
+    if coordinator is not None:
+        kwargs.update(coordinator_address=coordinator,
+                      num_processes=num_processes,
+                      process_id=process_id)
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(devices: Sequence[jax.Device] | None = None) -> Mesh:
