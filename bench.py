@@ -5,16 +5,21 @@ Headline: forward rays/sec/chip on the BASELINE 12-depth / 20-spp scene
 samples (width * height * spp), matching BASELINE.json's workload
 definition; bounce rays are the work behind each sample, not extra credit.
 
+The ``extra`` field carries the full suite (VERDICT round 1 item 2):
+  - config 2 fwd + fwd/bwd (fused VJP kernel)
+  - config 4 (500 spheres, 800x400, BVH) fwd on megakernel AND the
+    sorted-wavefront backend, + fused-VJP fwd/bwd
+  - REFERENCE_V2 (1024x576, 60 spp, depth 50 — the reference's own v2
+    run) forward
+  - a multi-parameter gradient sweep (center/radius/albedo/fuzz/IOR/
+    camera) through the FUSED KERNEL on hardware vs central finite
+    differences
+
 Measurement protocol (tunnel-safe): every timed call is one jitted
 dispatch whose output is a SCALAR image checksum, evaluated per call with
 a DISTINCT camera input — this forces real device execution (no server
 -side result reuse) and synchronizes on a 4-byte transfer instead of the
 full image.
-
-Also measured (reported in the "extra" field):
-- fwd+bwd rays/sec/chip (render + MSE loss + full scene/camera gradient)
-- golden-backend forward rays/sec (the XLA-fusion fallback path)
-- gradient max-abs-err vs central finite differences on probe pixels
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline compares
 against OUR round-1 recorded number (golden backend on one v5e chip).
@@ -31,13 +36,15 @@ import numpy as np
 
 import raytpu
 from raytpu import golden
-from raytpu.config import CONFIG2
+from raytpu.config import CONFIG2, RenderConfig, REFERENCE_V2
 from raytpu.render import render, _backend
 
 # Round-1 recorded baseline: golden (pure-XLA) forward on one real v5e
 # chip, config2, including tunnel sync overhead.  vs_baseline = value /
 # BASELINE_RAYS_PER_SEC.
 BASELINE_RAYS_PER_SEC = 8_315_929
+
+_FRAMES = 8  # frames per dispatch for sustained-throughput timing
 
 
 def _cam(i: int, aspect: float):
@@ -57,16 +64,12 @@ def _time_calls(fn, scene, aspect, iters=3):
     return sorted(ts)[len(ts) // 2]
 
 
-_FRAMES = 8  # frames per dispatch for sustained-throughput timing
-
-
-def _batch_frames(frame_fn, aspect):
-    """Wrap a per-frame scalar fn into one dispatch over _FRAMES frames
+def _batch_frames(frame_fn, n_frames=_FRAMES):
+    """Wrap a per-frame scalar fn into one dispatch over n_frames frames
     derived from the CALLER'S camera (sustained chip throughput; a single
     small frame is dominated by per-dispatch latency on a remote-TPU
     link).  Each frame perturbs the caller's camera by a distinct epsilon,
-    so every timed dispatch sees distinct inputs AND distinct frames —
-    no server-side result reuse (CLAUDE.md tunnel protocol)."""
+    so every timed dispatch sees distinct inputs AND distinct frames."""
 
     @jax.jit
     def run(scene, cam):
@@ -76,27 +79,23 @@ def _batch_frames(frame_fn, aspect):
             return acc + frame_fn(scene, c), None
         acc, _ = jax.lax.scan(
             body, jnp.float32(0.0),
-            jnp.arange(_FRAMES, dtype=jnp.float32))
+            jnp.arange(n_frames, dtype=jnp.float32))
         return acc
 
     return run
 
 
-def main():
+def bench_config2(extra):
     cfg = CONFIG2
     scene = raytpu.config2_world()
     backend = _backend("auto")
     rays = cfg.width * cfg.height * cfg.spp
 
-    # -- forward throughput (headline backend), _FRAMES frames/dispatch
-    def fwd_frame(s, c):
-        return jnp.sum(render(s, c, cfg, backend=backend))
-
-    fwd = _batch_frames(fwd_frame, cfg.aspect)
+    fwd = _batch_frames(
+        lambda s, c: jnp.sum(render(s, c, cfg, backend=backend)))
     t_fwd = _time_calls(fwd, scene, cfg.aspect) / _FRAMES
     fwd_rays_s = rays / t_fwd
 
-    # -- golden (XLA fallback) forward, for the backend-vs-backend delta
     if backend != "golden":
         fwd_g = jax.jit(
             lambda s, c: jnp.sum(render(s, c, cfg, backend="golden")))
@@ -104,7 +103,6 @@ def main():
     else:
         t_fwd_g = t_fwd
 
-    # -- forward+backward throughput (golden-path autodiff)
     target = golden.render_golden(scene, _cam(0, cfg.aspect), cfg)
 
     def fwdbwd_frame(s, c):
@@ -117,47 +115,157 @@ def main():
                   g[1].lower_left]
         return sum(jnp.sum(l) for l in leaves)
 
-    fwdbwd = _batch_frames(fwdbwd_frame, cfg.aspect)
+    fwdbwd = _batch_frames(fwdbwd_frame)
     t_fb = _time_calls(fwdbwd, scene, cfg.aspect) / _FRAMES
-    fb_rays_s = rays / t_fb
+    extra.update(
+        backend=backend,
+        config2="test_world 400x200 20spp depth12",
+        config2_fwd_ms=round(t_fwd * 1e3, 2),
+        config2_golden_fwd_ms=round(t_fwd_g * 1e3, 2),
+        config2_fwdbwd_rays_per_sec=round(rays / t_fb),
+        config2_fwdbwd_ms=round(t_fb * 1e3, 2),
+    )
+    return fwd_rays_s
 
-    # -- gradient max-err vs central finite differences (probe pixels well
-    # inside the hero spheres; visibility terms are detached by design)
-    cam0 = _cam(0, cfg.aspect)
-    probes_x = jnp.array([210, 200, 190, 205], jnp.int32)
-    probes_y = jnp.array([100, 105, 95, 98], jnp.int32)
+
+def bench_config4(extra):
+    """500-sphere final scene, 800x400 20spp depth 12 (the scaling config)."""
+    from raytpu.bvh import build_bvh
+    cfg = RenderConfig(width=800, height=400, spp=20, depth=12)
+    scene = raytpu.final_world()
+    bvh = build_bvh(scene, leaf_size=16)
+    rays = cfg.width * cfg.height * cfg.spp
+
+    for name, frame in (
+        ("megakernel", lambda s, c: jnp.sum(
+            render(s, c, cfg, backend="pallas", bvh=bvh))),
+        ("wavefront", lambda s, c: jnp.sum(
+            render(s, c, cfg, backend="wavefront", bvh=bvh))),
+    ):
+        f = _batch_frames(frame, n_frames=2)
+        t = _time_calls(f, scene, cfg.aspect) / 2
+        extra[f"config4_fwd_{name}_rays_per_sec"] = round(rays / t)
+        extra[f"config4_fwd_{name}_ms"] = round(t * 1e3, 1)
+
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    def fwdbwd_frame(s, c):
+        def loss_fn(s, c):
+            img = render(s, c, cfg, backend="pallas", bvh=bvh)
+            return jnp.mean((img - target) ** 2)
+        g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
+        return (jnp.sum(g[0].center) + jnp.sum(g[0].albedo)
+                + jnp.sum(g[1].origin))
+
+    fb = _batch_frames(fwdbwd_frame, n_frames=1)
+    t_fb = _time_calls(fb, scene, cfg.aspect, iters=2)
+    extra["config4_fwdbwd_rays_per_sec"] = round(rays / t_fb)
+    extra["config4_fwdbwd_ms"] = round(t_fb * 1e3, 1)
+    extra["config4_bwd_over_fwd"] = round(
+        (t_fb - extra["config4_fwd_megakernel_ms"] / 1e3)
+        / (extra["config4_fwd_megakernel_ms"] / 1e3), 2)
+
+
+def bench_refv2(extra):
+    """The reference's own v2 workload: 1024x576, 60 spp, depth 50."""
+    from raytpu.bvh import build_bvh
+    from raytpu.wavefront import render_wavefront
+    cfg = REFERENCE_V2
+    scene = raytpu.random_world()
+    bvh = build_bvh(scene, leaf_size=16)
+    rays = cfg.width * cfg.height * cfg.spp
 
     @jax.jit
-    def pix(s):
-        r, g, b = golden.render_pixels(s, cam0, cfg, probes_x, probes_y)
-        return r + g + b
+    def f(s, c):
+        return jnp.sum(render_wavefront(s, c, cfg, bvh=bvh))
 
-    def apply(v):
-        return pix(scene._replace(albedo=scene.albedo.at[1, 0].set(v)))
+    t = _time_calls(f, scene, cfg.aspect, iters=2)
+    extra["refv2_fwd_rays_per_sec"] = round(rays / t)
+    extra["refv2_fwd_ms"] = round(t * 1e3, 1)
+    extra["refv2_config"] = "random_world 1024x576 60spp depth50 wavefront"
 
-    a0 = float(scene.albedo[1, 0])
-    analytic = jax.jvp(apply, (jnp.float32(a0),), (jnp.float32(1.0),))[1]
-    eps = 1e-2
-    fd = (apply(jnp.float32(a0 + eps))
-          - apply(jnp.float32(a0 - eps))) / (2 * eps)
-    grad_max_err = float(jnp.max(jnp.abs(analytic - fd)))
+
+def bench_grad_sweep(extra):
+    """Multi-parameter gradient error vs central FD, THROUGH THE FUSED
+    KERNEL on hardware (the north-star metric, VERDICT item 2/5)."""
+    from raytpu.kernels import gradkernel
+    cfg = RenderConfig(width=128, height=64, spp=4, depth=6)
+    scene = raytpu.config2_world()
+    cam = _cam(0, cfg.aspect)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    @jax.jit
+    def loss_golden(scene, cam):
+        img = golden.render_golden(scene, cam, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def kernel_grads(scene, cam):
+        img = golden.render_golden(scene, cam, cfg)
+        ct = 2.0 * (img - target) / img.size
+        _, ds, dc = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
+                                                 interpret=False)
+        return ds, dc
+
+    ds, dc = kernel_grads(scene, cam)
+
+    def fd(update, eps):
+        lp = float(loss_golden(update(eps), cam))
+        lm = float(loss_golden(update(-eps), cam))
+        return (lp - lm) / (2 * eps)
+
+    def fd_cam(update, eps):
+        lp = float(loss_golden(scene, update(eps)))
+        lm = float(loss_golden(scene, update(-eps)))
+        return (lp - lm) / (2 * eps)
+
+    probes = {
+        "center_y": (float(ds.center[1, 1]), fd(
+            lambda e: scene._replace(
+                center=scene.center.at[1, 1].add(e)), 2e-3)),
+        "radius": (float(ds.radius[1]), fd(
+            lambda e: scene._replace(
+                radius=scene.radius.at[1].add(e)), 2e-3)),
+        "albedo_r": (float(ds.albedo[1, 0]), fd(
+            lambda e: scene._replace(
+                albedo=scene.albedo.at[1, 0].add(e)), 5e-3)),
+        "fuzz": (float(ds.mat_param[2]), fd(
+            lambda e: scene._replace(
+                mat_param=scene.mat_param.at[2].add(e)), 5e-3)),
+        "ior": (float(ds.mat_param[3]), fd(
+            lambda e: scene._replace(
+                mat_param=scene.mat_param.at[3].add(e)), 5e-3)),
+        "cam_origin_x": (float(dc.origin[0]), fd_cam(
+            lambda e: cam._replace(
+                origin=cam.origin.at[0].add(e)), 2e-3)),
+    }
+    errs = {}
+    worst = 0.0
+    for k, (an, num) in probes.items():
+        scale = max(abs(num), 1e-6)
+        rel = abs(an - num) / scale
+        errs[k] = round(rel, 6)
+        worst = max(worst, rel)
+    extra["gradkernel_fd_rel_err"] = errs
+    extra["gradkernel_fd_rel_err_max"] = round(worst, 6)
+
+
+def main():
+    extra = {"platform": jax.devices()[0].platform,
+             "frames_per_dispatch": _FRAMES}
+    fwd_rays_s = bench_config2(extra)
+    on_tpu = extra["platform"] == "tpu"
+    if on_tpu:
+        bench_config4(extra)
+        bench_refv2(extra)
+        bench_grad_sweep(extra)
 
     result = {
         "metric": "fwd_rays_per_sec_per_chip",
         "value": round(fwd_rays_s),
         "unit": "rays/s",
         "vs_baseline": round(fwd_rays_s / BASELINE_RAYS_PER_SEC, 3),
-        "extra": {
-            "backend": backend,
-            "platform": jax.devices()[0].platform,
-            "config": "test_world 400x200 20spp depth12",
-            "frames_per_dispatch": _FRAMES,
-            "fwd_ms": round(t_fwd * 1e3, 2),
-            "golden_fwd_ms": round(t_fwd_g * 1e3, 2),
-            "fwdbwd_rays_per_sec": round(fb_rays_s),
-            "fwdbwd_ms": round(t_fb * 1e3, 2),
-            "grad_max_err_vs_fd": grad_max_err,
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -189,7 +189,8 @@ _IDX_VMEM_BUDGET = 6 * 2**20
 
 def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                       n_nodes: int = 0, store_idx: bool = True,
-                      vis_w: float = 0.0):
+                      vis_w: float = 0.0,
+                      static_leaf: int | None = None):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -346,9 +347,20 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 start = nd_ref[6, node].astype(jnp.int32)
                 count = nd_ref[7, node].astype(jnp.int32)
                 skip = nd_ref[8, node].astype(jnp.int32)
-                count_eff = jnp.where(anyhit, count, 0)
-                hs = jax.lax.fori_loop(
-                    start, start + count_eff, body, hs)
+                if static_leaf:
+                    # padded leaves -> straight-line unrolled leaf body
+                    # (see megakernel.make_bounce_body)
+                    def do_leaf(hs):
+                        for k in range(static_leaf):
+                            hs = body(start + k, hs)
+                        return hs
+
+                    hs = jax.lax.cond(anyhit & (count > 0), do_leaf,
+                                      lambda hs: hs, hs)
+                else:
+                    count_eff = jnp.where(anyhit, count, 0)
+                    hs = jax.lax.fori_loop(
+                        start, start + count_eff, body, hs)
                 node_next = jnp.where(anyhit & (count == 0),
                                       node + 1, skip)
                 return (node_next, *hs)
@@ -745,8 +757,12 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         from raytpu.bvh import permute_scene
         perm_i = bvh.perm.astype(jnp.int32)
         scene_k = permute_scene(scene, bvh.perm)
+        # padded-leaf BVHs have MORE kernel-side entries than real
+        # spheres (dummies); accumulators must span them all
+        nk = int(bvh.perm.shape[0])
     else:
         scene_k = scene
+        nk = n
 
     ct = jnp.asarray(ct, jnp.float32)
     ct_pad = jnp.zeros((hp, wp, 3), jnp.float32).at[:h, :w].set(ct)
@@ -754,7 +770,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
-    n_pad = max(-(-n // 128) * 128, 128)
+    n_pad = max(-(-nk // 128) * 128, 128)
     # gradient outputs in SMEM (Mosaic forbids scalar stores to VMEM),
     # written once at the final grid step from the scratch accumulators
     acc_sc = pl.BlockSpec((16, n_pad), lambda i, j: (0, 0),
@@ -773,8 +789,9 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     m = 0 if bvh is None else bvh.nodes.shape[0]
     tile_bytes = _TILE_H * _TILE_W * 4
     store_idx = cfg.spp * cfg.depth * tile_bytes <= _IDX_VMEM_BUDGET
-    kernel = _make_grad_kernel(cfg, n, n_nodes=m, store_idx=store_idx,
-                               vis_w=float(vis_w))
+    kernel = _make_grad_kernel(
+        cfg, n, n_nodes=m, store_idx=store_idx, vis_w=float(vis_w),
+        static_leaf=None if bvh is None else bvh.leaf_size)
     operands = [_pack_camera(cam, cfg, n, m, row0), _pack_scene(scene_k)]
     in_specs = [smem, smem]
     if bvh is not None:
@@ -806,10 +823,16 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     )(*operands)
 
     img = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
-    gsc = gsc[:, :n]
     if perm_i is not None:
-        # cotangents are in BVH leaf order: scatter back to input order
-        gsc = jnp.zeros_like(gsc).at[:, perm_i].set(gsc)
+        # cotangents are in (padded) BVH leaf order: scatter back to
+        # input order; dummy entries (perm == -1) are dropped via an
+        # out-of-bounds index
+        gsc = gsc[:, :nk]
+        idx = jnp.where(perm_i >= 0, perm_i, n)
+        gsc = jnp.zeros((16, n), jnp.float32).at[:, idx].set(
+            gsc, mode="drop")
+    else:
+        gsc = gsc[:, :n]
     d_scene = Scene(
         center=gsc[0:3].T, radius=gsc[3], mat_type=None,
         albedo=gsc[5:8].T, mat_param=gsc[8],

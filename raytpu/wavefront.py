@@ -67,7 +67,8 @@ _ROWS_DEFAULT = 32
 
 
 def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
-                         scatter_mode: str = "v2"):
+                         scatter_mode: str = "v2",
+                         static_leaf: int | None = None):
     """Pallas kernel: run up to ``n_bounces`` bounces over one tile of
     consecutive ray slots, then emit the next sort key."""
 
@@ -98,7 +99,8 @@ def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
             sd = pltpu.bitcast(sdf, jnp.uint32)
 
             bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph,
-                                      dyn_nodes, t_min, scatter_mode)
+                                      dyn_nodes, t_min, scatter_mode,
+                                      static_leaf)
 
             def cond(st):
                 return (st[0] < dyn_bounces) & (jnp.max(st[13]) > 0)
@@ -180,7 +182,7 @@ def _block_to_image(lin, hp, wp):
 
 def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                            cfg: RenderConfig, interpret: bool,
-                           segments, tile_rows):
+                           segments, tile_rows, leaf_size=None):
     h, w = cfg.height, cfg.width
     hp, wp = _pad32(h), _pad32(w)
     R = hp * wp
@@ -206,7 +208,8 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         m = 0
     lo, scale = _key_bounds(scene)
 
-    kernel = _make_segment_kernel(n, m, t_min, trows, cfg.scatter_mode)
+    kernel = _make_segment_kernel(n, m, t_min, trows, cfg.scatter_mode,
+                                  leaf_size)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = pl.BlockSpec((trows, _TILE_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -285,21 +288,24 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
     return _to_gamma(img * np.float32(1.0 / cfg.spp), cfg.gamma)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _render_wavefront(scene, cam, nodes, perm, cfg, interpret, segments,
-                      tile_rows, vis_w):
+                      tile_rows, vis_w, leaf_size):
     return _render_wavefront_impl(scene, cam, nodes, perm, cfg,
-                                  interpret, segments, tile_rows)
+                                  interpret, segments, tile_rows,
+                                  leaf_size)
 
 
 def _wf_fwd(scene, cam, nodes, perm, cfg, interpret, segments, tile_rows,
-            vis_w):
+            vis_w, leaf_size):
     img = _render_wavefront_impl(scene, cam, nodes, perm, cfg,
-                                 interpret, segments, tile_rows)
+                                 interpret, segments, tile_rows,
+                                 leaf_size)
     return img, (scene, cam, nodes, perm)
 
 
-def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, res, ct):
+def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size, res,
+            ct):
     # backward: the fused Pallas VJP kernel (gradkernel.py) — shared
     # with the megakernel path; the wavefront is a forward-schedule
     # change only, so the same per-pixel reverse sweep applies.
@@ -310,7 +316,7 @@ def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, res, ct):
         bvh = None
         if nodes is not None:
             from raytpu.bvh import BVH
-            bvh = BVH(nodes=nodes, perm=perm)
+            bvh = BVH(nodes=nodes, perm=perm, leaf_size=leaf_size)
         _, ds, dc = gradkernel.render_pallas_vjp(
             scene, cam, cfg, ct, interpret=False, bvh=bvh, vis_w=vis_w)
     else:
@@ -343,7 +349,15 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if segments is None:
-        segments = (1, cfg.depth - 1) if cfg.depth > 1 else (cfg.depth,)
+        d = cfg.depth
+        if d > 8:
+            # deep configs: re-sort a few times early (live rays still
+            # plentiful), then let compaction carry the long tail
+            segments = (1, 2, 4, d - 7)
+        elif d > 1:
+            segments = (1, d - 1)
+        else:
+            segments = (d,)
     segments = tuple(int(s) for s in segments)
     assert sum(segments) == cfg.depth, (segments, cfg.depth)
     nodes = bvh.nodes if bvh is not None else None
@@ -351,4 +365,5 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
     return _render_wavefront(scene, cam, nodes, perm, cfg,
                              bool(interpret), segments,
                              None if tile_rows is None else int(tile_rows),
-                             float(vis_w))
+                             float(vis_w),
+                             None if bvh is None else bvh.leaf_size)

@@ -28,7 +28,7 @@ def _brute(centers, radii, ro, rd, t_min=1e-3):
 
 def test_build_invariants():
     scene = raytpu.random_world(seed=1, half_extent=5)
-    b = bvh_mod.build_bvh(scene, leaf_size=4)
+    b = bvh_mod.build_bvh(scene, leaf_size=4, pad_leaves=False)
     nodes = np.asarray(b.nodes)
     perm = np.asarray(b.perm).astype(int)
     n, m = scene.count, len(nodes)
@@ -58,7 +58,7 @@ def test_build_invariants():
 
 def test_traversal_matches_brute_force():
     scene = raytpu.random_world(seed=2, half_extent=6)
-    b = bvh_mod.build_bvh(scene, leaf_size=4)
+    b = bvh_mod.build_bvh(scene, leaf_size=4, pad_leaves=False)
     perm = np.asarray(b.perm).astype(int)
     centers = np.asarray(scene.center, np.float64)[perm]
     radii = np.asarray(scene.radius, np.float64)[perm]
@@ -81,7 +81,7 @@ def test_traversal_matches_brute_force():
 def test_single_sphere_and_leaf_sizes():
     scene = raytpu.config1_world()
     for leaf in (1, 2, 8):
-        b = bvh_mod.build_bvh(scene, leaf_size=leaf)
+        b = bvh_mod.build_bvh(scene, leaf_size=leaf, pad_leaves=False)
         perm = np.asarray(b.perm).astype(int)
         centers = np.asarray(scene.center, np.float64)[perm]
         radii = np.asarray(scene.radius, np.float64)[perm]
@@ -93,13 +93,48 @@ def test_single_sphere_and_leaf_sizes():
 
 def test_permute_scene_roundtrip():
     scene = raytpu.random_world(seed=4, half_extent=3)
-    b = bvh_mod.build_bvh(scene)
+    b = bvh_mod.build_bvh(scene, pad_leaves=False)
     ps = bvh_mod.permute_scene(scene, b.perm)
     perm = np.asarray(b.perm).astype(int)
     np.testing.assert_array_equal(
         np.asarray(ps.center), np.asarray(scene.center)[perm])
     np.testing.assert_array_equal(
         np.asarray(ps.mat_type), np.asarray(scene.mat_type)[perm])
+
+
+def test_padded_leaf_invariants():
+    """pad_leaves (the default): every leaf holds exactly leaf_size
+    entries, real spheres appear once, dummies are -1 -> NaN rows that
+    can never win a hit."""
+    scene = raytpu.random_world(seed=1, half_extent=5)
+    b = bvh_mod.build_bvh(scene, leaf_size=4)
+    assert b.leaf_size == 4
+    nodes = np.asarray(b.nodes)
+    perm = np.asarray(b.perm).astype(int)
+    n = scene.count
+    reals = sorted(p for p in perm.tolist() if p >= 0)
+    assert reals == list(range(n))
+    leaves = nodes[nodes[:, 7] > 0]
+    assert (leaves[:, 7] == 4).all()
+    spans = sorted((int(r[6]), int(r[7])) for r in leaves)
+    cursor = 0
+    for start, count in spans:
+        assert start == cursor
+        cursor += count
+    assert cursor == len(perm)
+    # permuted scene: dummy rows are NaN and never intersect
+    ps = bvh_mod.permute_scene(scene, b.perm)
+    centers = np.asarray(ps.center, np.float64)
+    radii = np.asarray(ps.radius, np.float64)
+    assert np.isnan(centers[perm < 0]).all()
+    rs = np.random.default_rng(3)
+    for _ in range(32):
+        ro = rs.uniform(-12, 12, 3)
+        ro[1] = rs.uniform(0.1, 6)
+        rd = rs.normal(size=3)
+        t, i = bvh_mod.closest_hit_numpy(b.nodes, centers, radii, ro, rd)
+        if i >= 0:
+            assert perm[i] >= 0  # a dummy never wins
 
 
 def test_pallas_bvh_matches_golden():
