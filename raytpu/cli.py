@@ -90,6 +90,14 @@ def cmd_render(args) -> int:
             print(f"samples {int(state.samples)}/{cfg.spp}",
                   file=sys.stderr)
             last = img
+            if args.preview_every and (
+                    int(state.samples) // args.progressive
+                    ) % args.preview_every == 0:
+                # the headless analogue of the reference's per-frame
+                # window blit (CSVersion/ShaderDisplay.hlsl:18-31)
+                io.save_image(args.out, img)
+                print(f"preview @ {int(state.samples)} spp -> "
+                      f"{args.out}", file=sys.stderr)
         if last is None:  # resumed fully-complete checkpoint
             from raytpu.progressive import load_checkpoint, image
             state, _ = load_checkpoint(args.checkpoint)
@@ -197,6 +205,9 @@ def main(argv=None) -> int:
                    help="build + use a BVH (pallas backend)")
     r.add_argument("--progressive", type=int, default=0, metavar="BATCH",
                    help="render progressively in BATCH-sample steps")
+    r.add_argument("--preview-every", type=int, default=0, metavar="K",
+                   help="with --progressive: overwrite --out with the "
+                        "current image every K batches (live preview)")
     r.add_argument("--checkpoint", default=None,
                    help="progressive checkpoint path (.npz)")
     r.add_argument("--resume", action="store_true",

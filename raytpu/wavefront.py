@@ -182,7 +182,8 @@ def _block_to_image(lin, hp, wp):
 
 def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                            cfg: RenderConfig, interpret: bool,
-                           segments, tile_rows, leaf_size=None):
+                           segments, tile_rows, leaf_size=None,
+                           sort_every: int = 1):
     h, w = cfg.height, cfg.width
     hp, wp = _pad32(h), _pad32(w)
     R = hp * wp
@@ -262,11 +263,19 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         planes = [ox, oy, oz, dx, dy, dz, one, one, one,
                   rad_r, rad_g, rad_b, alive,
                   jax.lax.bitcast_convert_type(sd, jnp.float32)]
+        # sort_every > 1: only every k-th wave re-sorts — wave k+1's
+        # primary rays reuse wave k's order, and bounce-1 hit positions
+        # barely move between jittered samples, so the stale order stays
+        # nearly as coherent at a fraction of the lax.sort cost
+        do_sort = (s % jnp.int32(sort_every)) == 0
         for i, seg in enumerate(segments):
             planes, key = seg_call(planes, seg)
             if i < len(segments) - 1:
-                sorted_ops = jax.lax.sort(
-                    [key, pid.astype(jnp.float32), *planes], num_keys=1)
+                ops = [key, pid.astype(jnp.float32), *planes]
+                sorted_ops = jax.lax.cond(
+                    do_sort,
+                    lambda a: list(jax.lax.sort(a, num_keys=1)),
+                    lambda a: list(a), ops)
                 pid = sorted_ops[1].astype(jnp.int32)
                 planes = list(sorted_ops[2:])
         rad_r, rad_g, rad_b = planes[9], planes[10], planes[11]
@@ -288,24 +297,25 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
     return _to_gamma(img * np.float32(1.0 / cfg.spp), cfg.gamma)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _render_wavefront(scene, cam, nodes, perm, cfg, interpret, segments,
-                      tile_rows, vis_w, leaf_size):
+                      tile_rows, vis_w, leaf_size, sort_every):
     return _render_wavefront_impl(scene, cam, nodes, perm, cfg,
                                   interpret, segments, tile_rows,
-                                  leaf_size)
+                                  leaf_size, sort_every)
 
 
 def _wf_fwd(scene, cam, nodes, perm, cfg, interpret, segments, tile_rows,
-            vis_w, leaf_size):
+            vis_w, leaf_size, sort_every):
     img = _render_wavefront_impl(scene, cam, nodes, perm, cfg,
                                  interpret, segments, tile_rows,
-                                 leaf_size)
+                                 leaf_size, sort_every)
     return img, (scene, cam, nodes, perm)
 
 
-def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size, res,
-            ct):
+def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size,
+            sort_every, res, ct):
     # backward: the fused Pallas VJP kernel (gradkernel.py) — shared
     # with the megakernel path; the wavefront is a forward-schedule
     # change only, so the same per-pixel reverse sweep applies.
@@ -332,7 +342,8 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
                      bvh=None, segments=None,
                      interpret: bool | None = None,
                      tile_rows: int | None = None,
-                     vis_w: float = 0.0) -> jnp.ndarray:
+                     vis_w: float = 0.0,
+                     sort_every: int = 1) -> jnp.ndarray:
     """Full-frame sorted-wavefront render -> (H, W, 3) f32 image.
 
     Bit-identical (to 1 ulp; see tests/test_wavefront.py) to
@@ -366,4 +377,5 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
                              bool(interpret), segments,
                              None if tile_rows is None else int(tile_rows),
                              float(vis_w),
-                             None if bvh is None else bvh.leaf_size)
+                             None if bvh is None else bvh.leaf_size,
+                             int(sort_every))
