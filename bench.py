@@ -186,14 +186,24 @@ def bench_refv2(extra):
 
 
 def bench_grad_sweep(extra):
-    """Multi-parameter gradient error vs central FD, THROUGH THE FUSED
-    KERNEL on hardware (the north-star metric).
+    """Multi-parameter gradient error THROUGH THE FUSED KERNEL on
+    hardware (the north-star metric), two ways:
 
-    The cotangent is one-hot on PROBE PIXELS whose primary hit lies well
-    inside each sphere: across an interior probe every parameter acts
-    continuously, so central differences measure exactly what the
-    detached-discrete-event gradients claim (silhouette terms are a
-    separate, vis_w-gated estimator validated in tests/test_gradkernel).
+    - vs GOLDEN AUTODIFF (all parameters): the fused kernel's hand
+      -derived reverse sweep must reproduce jax.grad of the golden
+      renderer — same cotangent, same math, run on the same chip.
+    - vs central FD (continuous parameters only): an independent
+      numerical check.  FD is well-posed only where the probe loss is
+      locally smooth; IOR (Schlick reflect/refract branch flips under
+      any epsilon) and camera origin (secondary-silhouette jumps in
+      bounce paths) are discontinuous by construction, so for those the
+      autodiff comparison is the honest check (FD there measures jump
+      terms that detached-discrete gradients deliberately exclude —
+      silhouette terms are a separate, vis_w-gated estimator validated
+      in tests/test_gradkernel).
+
+    The cotangent is one-hot on PROBE PIXELS whose primary hit lies
+    well inside each sphere.
     """
     from raytpu.kernels import gradkernel
     from raytpu import golden as g
@@ -233,6 +243,12 @@ def bench_grad_sweep(extra):
         return ds, dc
 
     @jax.jit
+    def autodiff_grads(scene, cam, ct):
+        def loss(s, c):
+            return jnp.sum(g.render_golden(s, c, cfg) * ct)
+        return jax.grad(loss, argnums=(0, 1), allow_int=True)(scene, cam)
+
+    @jax.jit
     def probe_sum(scene, cam, ct):
         return jnp.sum(g.render_golden(scene, cam, cfg) * ct)
 
@@ -268,26 +284,32 @@ def bench_grad_sweep(extra):
             origin=cam.origin.at[0].add(e)),
          lambda ds, dc: dc.origin[0]),
     ]
-    errs = {}
+    fd_ok = {"center_y", "radius", "albedo_r", "fuzz"}
+    ad_errs = {}
+    fd_errs = {}
     worst = 0.0
     for name, (pys, pxs), up_s, up_c, pick in cases:
         ct = ct_for(pys, pxs)
         if name == "fuzz":
-            # analytic grad at the SHIFTED base point (fuzz 0 is a
-            # clamp boundary); FD straddles fuzz = 0.2
+            # grads at the SHIFTED base point (fuzz 0 is a clamp
+            # boundary); FD straddles fuzz = 0.2
             base = scene._replace(
                 mat_param=scene.mat_param.at[2].add(0.2))
-            ds, dc = kernel_grads(base, cam, ct)
-            num = fd(ct, update_scene=up_s)
         else:
-            ds, dc = kernel_grads(scene, cam, ct)
-            num = fd(ct, update_scene=up_s, update_cam=up_c)
+            base = scene
+        ds, dc = kernel_grads(base, cam, ct)
+        ads, adc = autodiff_grads(base, cam, ct)
         an = float(pick(ds, dc))
-        rel = abs(an - num) / max(abs(num), 1e-5)
-        errs[name] = round(rel, 6)
+        ad = float(pick(ads, adc))
+        rel = abs(an - ad) / max(abs(ad), 1e-5)
+        ad_errs[name] = round(rel, 6)
         worst = max(worst, rel)
-    extra["gradkernel_fd_rel_err"] = errs
-    extra["gradkernel_fd_rel_err_max"] = round(worst, 6)
+        if name in fd_ok:
+            num = fd(ct, update_scene=up_s, update_cam=up_c)
+            fd_errs[name] = round(abs(an - num) / max(abs(num), 1e-5), 6)
+    extra["gradkernel_autodiff_rel_err"] = ad_errs
+    extra["gradkernel_fd_rel_err"] = fd_errs
+    extra["gradkernel_rel_err_max"] = round(worst, 6)
 
 
 def main():

@@ -25,6 +25,18 @@ Layout: ``nodes`` is (M, 9) f32 — rows
 sphere order (``perm``); integers are stored as f32 (exact below 2^24) so
 the whole structure is a float PyTree and rides ``jax.custom_vjp`` with
 zero cotangents.
+
+**Octant-ordered traversal** (padded static-leaf BVHs, the default):
+``nodes`` holds EIGHT preorder copies of the tree, shape (8*M, 9) —
+copy ``o`` orders every internal node's children FRONT-TO-BACK for rays
+whose direction-sign octant is ``o`` (bit 2 = x < 0, bit 1 = y < 0,
+bit 0 = z < 0, matching the kernels' octant key).  A tile picks the
+copy matching its majority live-lane octant, so the nearest leaves are
+visited first, ``t_best`` tightens immediately, and far subtrees die on
+the ``tfar <= t_best`` clamp.  Hit results are IDENTICAL in any order
+(closest-hit with predicated winner updates is order-independent);
+only the amount of culling changes.  ``start``/``count``/``perm`` are
+shared by all copies.
 """
 
 from __future__ import annotations
@@ -56,6 +68,13 @@ class BVH:
     def n_nodes(self) -> int:
         return self.nodes.shape[0]
 
+    @property
+    def n_trav(self) -> int:
+        """Nodes per traversal walk — ``nodes`` holds 8 octant-ordered
+        copies when ``leaf_size`` is set (padded static leaves)."""
+        m = self.nodes.shape[0]
+        return m // 8 if self.leaf_size else m
+
 
 def _pad_leaf_nodes(nodes: np.ndarray, perm: np.ndarray,
                     leaf_size: int):
@@ -77,6 +96,53 @@ def _pad_leaf_nodes(nodes: np.ndarray, perm: np.ndarray,
     return nodes, np.asarray(new_perm, np.float32)
 
 
+def _octant_orders(nodes: np.ndarray) -> np.ndarray:
+    """(M, 9) preorder nodes -> (8*M, 9): eight preorder copies, copy
+    ``o`` visiting each internal node's children front-to-back for
+    direction octant ``o`` (bit 2/1/0 set = dx/dy/dz < 0).
+
+    Children are recovered from the skip-pointer layout (left = i + 1,
+    right = skip(left)); the ordering axis is the child-centroid axis of
+    greatest separation (the split axis, reconstructed); a negative ray
+    direction along that axis visits the larger-centroid child first.
+    ``start``/``count`` rows are copied verbatim — all copies index the
+    same permuted sphere order."""
+    nodes = np.asarray(nodes, np.float32)
+    m = len(nodes)
+    cent = (nodes[:, 0:3] + nodes[:, 3:6]) * 0.5
+    out = np.empty((8, m, 9), np.float32)
+    for o in range(8):
+        neg = (bool(o & 4), bool(o & 2), bool(o & 1))
+        rows = np.empty((m, 9), np.float32)
+        pos = 0
+        # stack of (orig_index, my_out_slot_or_-1): first visit emits the
+        # row, second (slot >= 0) patches its skip pointer
+        stack = [(0, -1)]
+        while stack:
+            i, slot = stack.pop()
+            if slot >= 0:
+                rows[slot, 8] = float(pos)
+                continue
+            my = pos
+            rows[my] = nodes[i]
+            pos += 1
+            if nodes[i, 7] == 0:  # interior: order children
+                left = i + 1
+                right = int(nodes[left, 8])
+                axis = int(np.argmax(np.abs(cent[left] - cent[right])))
+                first, second = left, right
+                if (cent[left][axis] > cent[right][axis]) != neg[axis]:
+                    first, second = right, left
+                stack.append((i, my))        # patch skip after subtree
+                stack.append((second, -1))
+                stack.append((first, -1))
+            else:
+                rows[my, 8] = float(pos)
+        assert pos == m
+        out[o] = rows
+    return out.reshape(8 * m, 9)
+
+
 def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
               use_native: bool = True, pad_leaves: bool = True) -> BVH:
     """Median-split BVH over the scene's spheres (host-side).
@@ -96,6 +162,9 @@ def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
     (leaf_size/2, leaf_size], so the dummy overhead is small.  The
     default leaf 32 is the round-2 500-sphere sweep optimum for the
     static-unrolled kernels (16 was best for the old dynamic loops).
+    Padded BVHs additionally store 8 octant-ordered node copies
+    (``nodes`` becomes (8*M, 9), see :func:`_octant_orders`) for
+    front-to-back traversal.
     """
     center = np.asarray(scene.center, np.float64)
     radius = np.asarray(scene.radius, np.float64)
@@ -107,6 +176,7 @@ def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
             if pad_leaves:
                 nodes_arr, perm_arr = _pad_leaf_nodes(
                     nodes_arr, perm_arr, leaf_size)
+                nodes_arr = _octant_orders(nodes_arr)
             return BVH(nodes=jnp.asarray(nodes_arr),
                        perm=jnp.asarray(perm_arr),
                        leaf_size=leaf_size if pad_leaves else None)
@@ -143,6 +213,7 @@ def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
     if pad_leaves:
         nodes_arr, perm_arr = _pad_leaf_nodes(nodes_arr, perm_arr,
                                               leaf_size)
+        nodes_arr = _octant_orders(nodes_arr)
     return BVH(nodes=jnp.asarray(nodes_arr),
                perm=jnp.asarray(perm_arr),
                leaf_size=leaf_size if pad_leaves else None)

@@ -321,11 +321,28 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             inv_dy = 1.0 / dy
             inv_dz = 1.0 / dz
 
+            if static_leaf:
+                # octant-ordered node copies — front-to-back walk (see
+                # megakernel.make_bounce_body / bvh._octant_orders)
+                live = jnp.where(alive, 1.0, 0.0)
+                half = 0.5 * jnp.sum(live)
+                octi = (
+                    jnp.where(jnp.sum(jnp.where(alive & (dx < 0),
+                                                1.0, 0.0)) > half, 4, 0)
+                    + jnp.where(jnp.sum(jnp.where(alive & (dy < 0),
+                                                  1.0, 0.0)) > half, 2, 0)
+                    + jnp.where(jnp.sum(jnp.where(alive & (dz < 0),
+                                                  1.0, 0.0)) > half, 1, 0))
+                nbase = octi.astype(jnp.int32) * dyn_nodes
+            else:
+                nbase = jnp.int32(0)
+
             def t_cond(ts):
                 return ts[0] < dyn_nodes
 
             def t_body(ts):
-                node = ts[0]
+                rel = ts[0]
+                node = nbase + rel
                 hs = ts[1:]
                 tb = hs[0]
                 t1 = (nd_ref[0, node] - ox) * inv_dx
@@ -361,8 +378,9 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     count_eff = jnp.where(anyhit, count, 0)
                     hs = jax.lax.fori_loop(
                         start, start + count_eff, body, hs)
+                # skip pointers are relative within one octant copy
                 node_next = jnp.where(anyhit & (count == 0),
-                                      node + 1, skip)
+                                      rel + 1, skip)
                 return (node_next, *hs)
 
             out = jax.lax.while_loop(t_cond, t_body, (jnp.int32(0), *hs0))
@@ -786,7 +804,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
 
     out_plane = _shp((hp, wp))
 
-    m = 0 if bvh is None else bvh.nodes.shape[0]
+    m = 0 if bvh is None else bvh.n_trav
     tile_bytes = _TILE_H * _TILE_W * 4
     store_idx = cfg.spp * cfg.depth * tile_bytes <= _IDX_VMEM_BUDGET
     kernel = _make_grad_kernel(

@@ -189,11 +189,31 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
             inv_dy = 1.0 / dy
             inv_dz = 1.0 / dz
 
+            if static_leaf:
+                # padded BVHs carry 8 octant-ordered node copies: pick
+                # the copy matching the tile's majority live-lane
+                # direction octant, so traversal runs front-to-back and
+                # far subtrees die on the tfar <= t_best clamp (any
+                # octant is CORRECT — only culling efficiency changes)
+                live = jnp.where(alive, 1.0, 0.0)
+                half = 0.5 * jnp.sum(live)
+                octi = (
+                    jnp.where(jnp.sum(jnp.where(alive & (dx < 0),
+                                                1.0, 0.0)) > half, 4, 0)
+                    + jnp.where(jnp.sum(jnp.where(alive & (dy < 0),
+                                                  1.0, 0.0)) > half, 2, 0)
+                    + jnp.where(jnp.sum(jnp.where(alive & (dz < 0),
+                                                  1.0, 0.0)) > half, 1, 0))
+                nbase = octi.astype(jnp.int32) * dyn_nodes
+            else:
+                nbase = jnp.int32(0)
+
             def t_cond(ts):
                 return ts[0] < dyn_nodes
 
             def t_body(ts):
-                node = ts[0]
+                rel = ts[0]
+                node = nbase + rel
                 hs = ts[1:]
                 tb = hs[0]
                 t1 = (nd_ref[0, node] - ox) * inv_dx
@@ -234,8 +254,9 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                     count_eff = jnp.where(anyhit, count, 0)
                     hs = jax.lax.fori_loop(
                         start, start + count_eff, sphere_body, hs)
+                # skip pointers are relative within one octant copy
                 node_next = jnp.where(anyhit & (count == 0),
-                                      node + 1, skip)
+                                      rel + 1, skip)
                 return (node_next, *hs)
 
             out = jax.lax.while_loop(
@@ -598,7 +619,8 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
         # spheres reordered into BVH leaf order; nodes transposed for
         # scalar row reads
         from raytpu.bvh import permute_scene
-        m = nodes.shape[0]
+        # padded BVHs store 8 octant-ordered copies: the walk covers one
+        m = nodes.shape[0] // 8 if leaf_size else nodes.shape[0]
         kernel = _make_kernel(cfg, n, n_nodes=m, block_w=block_w,
                               static_leaf=leaf_size)
         operands = (_pack_camera(cam, cfg, n, m, row0),
@@ -745,7 +767,7 @@ def accumulate_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
         in_specs = [smem, smem]
     else:
         from raytpu.bvh import permute_scene
-        m = bvh.nodes.shape[0]
+        m = bvh.n_trav
         kernel = _make_kernel(cfg, n, n_nodes=m, carry_state=True,
                               static_leaf=bvh.leaf_size)
         operands = [_pack_camera(cam, cfg, n, m, spp=spp, s0=samples0),

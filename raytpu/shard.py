@@ -135,16 +135,56 @@ def render_sharded_pallas(scene: Scene, cam: Camera, cfg: RenderConfig, *,
         * megakernel._TILE_H
     nodes = None if bvh is None else bvh.nodes
     perm = None if bvh is None else bvh.perm
+    leaf = None if bvh is None else bvh.leaf_size
 
     def shard_fn(scene, cam):
         row0 = jax.lax.axis_index(AXIS) * slab
         return megakernel._render_pallas_fwd_impl(
             scene, cam, cfg, interpret, nodes, perm,
-            row0=row0, rows=slab)
+            row0=row0, rows=slab, leaf_size=leaf)
 
     # check_vma=False: a pure per-device map with no collectives (the
     # Pallas interpreter's internals mix varying/unvaried operands and
     # trip the varying-axis checker; nothing here needs it)
+    img = jax.jit(jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(AXIS),
+        check_vma=False,
+    ))(scene, cam)
+    return img[:cfg.height]
+
+
+def render_wavefront_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
+                             *, mesh: Mesh, bvh=None, segments=None,
+                             sort_every: int = 1,
+                             interpret: bool | None = None) -> jnp.ndarray:
+    """Sorted-wavefront render sharded over ``mesh``: one row slab per
+    device, each running its own independent wavefront (sort + segment
+    kernels stay device-local — zero inter-chip traffic until the final
+    concatenation).  RNG seeds and sort keys derive from ABSOLUTE pixel
+    coords, so the image bit-matches the single-chip wavefront for any
+    mesh size (asserted in tests/test_shard.py)."""
+    from raytpu import wavefront as wf
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n_shards = mesh.devices.size
+    slab = -(-cfg.height // (wf._BLOCK * n_shards)) * wf._BLOCK
+    nodes = None if bvh is None else bvh.nodes
+    perm = None if bvh is None else bvh.perm
+    leaf = None if bvh is None else bvh.leaf_size
+    if segments is None:
+        segments = wf.default_segments(cfg.depth)
+    segments = tuple(int(s) for s in segments)
+
+    def shard_fn(scene, cam):
+        row0 = jax.lax.axis_index(AXIS) * slab
+        return wf._render_wavefront_impl(
+            scene, cam, nodes, perm, cfg, interpret, segments,
+            None, leaf, int(sort_every), row0=row0, rows=slab)
+
     img = jax.jit(jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -178,12 +218,13 @@ def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
     inv_m = 1.0 / (cfg.height * w * 3)
     nodes = None if bvh is None else bvh.nodes
     perm = None if bvh is None else bvh.perm
+    leaf = None if bvh is None else bvh.leaf_size
 
     def shard_fn(scene, cam, target_slab):
         row0 = jax.lax.axis_index(AXIS) * slab
         img = megakernel._render_pallas_fwd_impl(
             scene, cam, cfg, interpret, nodes, perm,
-            row0=row0, rows=slab)                       # (slab, w, 3)
+            row0=row0, rows=slab, leaf_size=leaf)                       # (slab, w, 3)
         # rows beyond the real image carry no loss
         valid = ((row0 + jnp.arange(slab)) < cfg.height)[:, None, None]
         diff = jnp.where(valid, img - target_slab, 0.0)

@@ -183,8 +183,12 @@ def _block_to_image(lin, hp, wp):
 def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                            cfg: RenderConfig, interpret: bool,
                            segments, tile_rows, leaf_size=None,
-                           sort_every: int = 1):
-    h, w = cfg.height, cfg.width
+                           sort_every: int = 1, row0=0, rows=None):
+    """Render rows [row0, row0+rows) of the cfg-sized frame as one
+    wavefront.  ``row0`` may be traced (shard_map axis offset); RNG
+    seeds and sort keys derive from ABSOLUTE pixel coords, so a sharded
+    frame is bit-identical to the single-chip render."""
+    h, w = (rows if rows is not None else cfg.height), cfg.width
     hp, wp = _pad32(h), _pad32(w)
     R = hp * wp
     rows = R // _TILE_W
@@ -195,14 +199,15 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
     parallel = cfg.rng_mode == "parallel"
     t_min = np.float32(cfg.t_min)
     inv_w = np.float32(1.0 / (w - 1))
-    inv_h = np.float32(1.0 / (h - 1))
+    inv_h = np.float32(1.0 / (cfg.height - 1))  # full-frame v coords
 
     n = scene.count
     if nodes is not None:
         from raytpu.bvh import permute_scene
         packed = _pack_scene(permute_scene(scene, perm))
         nodes_t = nodes.T.astype(jnp.float32)
-        m = nodes.shape[0]
+        # padded BVHs store 8 octant-ordered copies: the walk covers one
+        m = nodes.shape[0] // 8 if leaf_size else nodes.shape[0]
     else:
         packed = _pack_scene(scene)
         nodes_t = None
@@ -242,7 +247,8 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
     def wave(carry, s):
         pid, seed_carry, rad_r, rad_g, rad_b = carry
         px, py = _decode_pid(pid, wp)
-        valid = (px < w) & (py < h)
+        py = py + row0  # absolute image row (sharded slabs)
+        valid = (px < w) & (py < cfg.height)
         if parallel:
             sd = rng.fold_in(
                 rng.pixel_seed(px.astype(jnp.uint32),
@@ -283,6 +289,7 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         return (pid, seed_out, rad_r, rad_g, rad_b), None
 
     px0, py0 = _decode_pid(pid0, wp)
+    py0 = py0 + row0
     seed0 = rng.pixel_seed(px0.astype(jnp.uint32), py0.astype(jnp.uint32))
     zero = jnp.zeros((R,), jnp.float32)
     carry = (pid0, seed0, zero, zero, zero)
@@ -295,6 +302,16 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         jnp.stack([rad_r, rad_g, rad_b], axis=-1), unique_indices=True)
     img = _block_to_image(lin, hp, wp)[:h, :w]
     return _to_gamma(img * np.float32(1.0 / cfg.spp), cfg.gamma)
+
+
+def default_segments(depth: int) -> tuple[int, ...]:
+    """Bounce-segment split for a given depth: re-sort a few times early
+    (live rays still plentiful), then let compaction carry the tail."""
+    if depth > 8:
+        return (1, 2, 4, depth - 7)
+    if depth > 1:
+        return (1, depth - 1)
+    return (depth,)
 
 
 @functools.partial(jax.custom_vjp,
@@ -360,15 +377,7 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if segments is None:
-        d = cfg.depth
-        if d > 8:
-            # deep configs: re-sort a few times early (live rays still
-            # plentiful), then let compaction carry the long tail
-            segments = (1, 2, 4, d - 7)
-        elif d > 1:
-            segments = (1, d - 1)
-        else:
-            segments = (d,)
+        segments = default_segments(cfg.depth)
     segments = tuple(int(s) for s in segments)
     assert sum(segments) == cfg.depth, (segments, cfg.depth)
     nodes = bvh.nodes if bvh is not None else None

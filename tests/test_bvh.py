@@ -109,7 +109,8 @@ def test_padded_leaf_invariants():
     scene = raytpu.random_world(seed=1, half_extent=5)
     b = bvh_mod.build_bvh(scene, leaf_size=4)
     assert b.leaf_size == 4
-    nodes = np.asarray(b.nodes)
+    assert b.n_nodes == 8 * b.n_trav  # 8 octant-ordered copies
+    nodes = np.asarray(b.nodes)[:b.n_trav]  # copy 0 (+x +y +z)
     perm = np.asarray(b.perm).astype(int)
     n = scene.count
     reals = sorted(p for p in perm.tolist() if p >= 0)
@@ -132,9 +133,37 @@ def test_padded_leaf_invariants():
         ro = rs.uniform(-12, 12, 3)
         ro[1] = rs.uniform(0.1, 6)
         rd = rs.normal(size=3)
-        t, i = bvh_mod.closest_hit_numpy(b.nodes, centers, radii, ro, rd)
+        t, i = bvh_mod.closest_hit_numpy(nodes, centers, radii, ro, rd)
         if i >= 0:
             assert perm[i] >= 0  # a dummy never wins
+
+
+def test_octant_orders_consistent():
+    """Each of the 8 octant-ordered node copies is a valid preorder of
+    the SAME tree: identical (t, winning sphere) for every ray."""
+    scene = raytpu.random_world(seed=6, half_extent=5)
+    b = bvh_mod.build_bvh(scene, leaf_size=4)
+    m = b.n_trav
+    nodes = np.asarray(b.nodes)
+    perm = np.asarray(b.perm).astype(int)
+    ps = bvh_mod.permute_scene(scene, b.perm)
+    centers = np.asarray(ps.center, np.float64)
+    radii = np.asarray(ps.radius, np.float64)
+    rs = np.random.default_rng(7)
+    for _ in range(48):
+        ro = rs.uniform(-12, 12, 3)
+        ro[1] = rs.uniform(0.1, 6)
+        rd = rs.normal(size=3)
+        t0, i0 = bvh_mod.closest_hit_numpy(nodes[:m], centers, radii,
+                                           ro, rd)
+        for o in range(1, 8):
+            t, i = bvh_mod.closest_hit_numpy(
+                nodes[o * m:(o + 1) * m], centers, radii, ro, rd)
+            if np.isinf(t0):
+                assert np.isinf(t)
+            else:
+                np.testing.assert_allclose(t, t0, rtol=1e-12)
+                assert perm[i] == perm[i0]
 
 
 def test_pallas_bvh_matches_golden():

@@ -153,3 +153,27 @@ def test_pallas_train_step_matches_reference_grads():
         # floor absorbs f32 noise on near-zero gradient components
         scale = max(np.abs(want).max(), 1e-5)
         assert np.abs(got - want).max() / scale < 5e-3, k
+
+
+def test_sharded_wavefront_matches_golden_across_mesh_sizes():
+    """Row-slab wavefront sharding: each device runs its own sorted
+    wavefront; absolute pixel seeds/keys make the frame bit-identical
+    to golden for every mesh size."""
+    from raytpu import bvh as bvh_mod
+    cfg = RenderConfig(width=40, height=24, spp=2, depth=3)
+    scene = raytpu.random_world(seed=3, half_extent=3)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect)
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    b = bvh_mod.build_bvh(scene)
+    imgs = []
+    for nd, bvh in ((1, None), (2, b), (8, b)):
+        mesh = shard.make_mesh(jax.devices()[:nd])
+        got = np.asarray(shard.render_wavefront_sharded(
+            scene, cam, cfg, mesh=mesh, bvh=bvh))
+        # 1-ulp: XLA fuses the non-kernel tail (gamma/scatter)
+        # differently under shard_map than in the golden jit
+        np.testing.assert_allclose(got, want, atol=3e-7, rtol=0)
+        imgs.append(got)
+    # mesh sizes must agree with each other exactly (same shard program)
+    np.testing.assert_array_equal(imgs[1], imgs[2])
