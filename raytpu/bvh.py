@@ -144,8 +144,15 @@ def _octant_orders(nodes: np.ndarray) -> np.ndarray:
 
 
 def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
-              use_native: bool = True, pad_leaves: bool = True) -> BVH:
-    """Median-split BVH over the scene's spheres (host-side).
+              use_native: bool = True, pad_leaves: bool = True,
+              builder: str = "median") -> BVH:
+    """BVH over the scene's spheres (host-side build).
+
+    ``builder="median"`` (default) splits at the centroid median of the
+    longest axis; ``builder="sah"`` uses the native binned surface-area
+    -heuristic builder (16 bins/axis — isolates outliers like a giant
+    ground sphere into their own cheap subtree; requires the native
+    library, falling back to median otherwise).
 
     Uses the native C++ builder (native/rt_native.cpp via ctypes) when
     available — same algorithm, bit-identical output, ~100x faster for
@@ -166,11 +173,14 @@ def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
     (``nodes`` becomes (8*M, 9), see :func:`_octant_orders`) for
     front-to-back traversal.
     """
+    if builder not in ("median", "sah"):
+        raise ValueError(f"unknown builder {builder!r}")
     center = np.asarray(scene.center, np.float64)
     radius = np.asarray(scene.radius, np.float64)
-    if use_native:
+    if use_native or builder == "sah":
         from raytpu import native
-        out = native.build_bvh_native(center, radius, leaf_size, pad)
+        out = native.build_bvh_native(center, radius, leaf_size, pad,
+                                      sah=builder == "sah")
         if out is not None:
             nodes_arr, perm_arr = out
             if pad_leaves:

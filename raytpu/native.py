@@ -53,23 +53,30 @@ def get_lib():
             lib = ctypes.CDLL(_LIB)
         except OSError:
             return None
-        lib.rt_build_bvh.restype = ctypes.c_int
-        lib.rt_build_bvh.argtypes = [
+        argtypes = [
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             ctypes.c_int, ctypes.c_int, ctypes.c_double,
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ]
-        if lib.rt_native_abi_version() != 1:
+        lib.rt_build_bvh.restype = ctypes.c_int
+        lib.rt_build_bvh.argtypes = argtypes
+        lib.rt_build_bvh_sah.restype = ctypes.c_int
+        lib.rt_build_bvh_sah.argtypes = argtypes
+        if lib.rt_native_abi_version() != 2:
             return None
         _lib = lib
         return _lib
 
 
 def build_bvh_native(centers: np.ndarray, radii: np.ndarray,
-                     leaf_size: int, pad: float):
-    """Native BVH build -> (nodes (m, 9) f32, perm (n,) f32) or None."""
+                     leaf_size: int, pad: float, sah: bool = False):
+    """Native BVH build -> (nodes (m, 9) f32, perm (n,) f32) or None.
+
+    ``sah=True`` selects the binned surface-area-heuristic builder
+    (rt_build_bvh_sah); default is the median-split builder that the
+    numpy fallback mirrors bit-for-bit."""
     lib = get_lib()
     if lib is None:
         return None
@@ -78,8 +85,9 @@ def build_bvh_native(centers: np.ndarray, radii: np.ndarray,
     n = len(radii)
     nodes = np.empty((max(2 * n - 1, 1), 9), np.float32)
     perm = np.empty((n,), np.float32)
-    m = lib.rt_build_bvh(centers, radii, n, int(leaf_size), float(pad),
-                         nodes.reshape(-1), perm)
+    fn = lib.rt_build_bvh_sah if sah else lib.rt_build_bvh
+    m = fn(centers, radii, n, int(leaf_size), float(pad),
+           nodes.reshape(-1), perm)
     if m <= 0:
         return None
     return nodes[:m].copy(), perm

@@ -158,7 +158,7 @@ def render_sharded_pallas(scene: Scene, cam: Camera, cfg: RenderConfig, *,
 
 def render_wavefront_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
                              *, mesh: Mesh, bvh=None, segments=None,
-                             sort_every: int = 1,
+                             sort_every: int = 1, spp_batch: int = 1,
                              interpret: bool | None = None) -> jnp.ndarray:
     """Sorted-wavefront render sharded over ``mesh``: one row slab per
     device, each running its own independent wavefront (sort + segment
@@ -183,7 +183,8 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
         row0 = jax.lax.axis_index(AXIS) * slab
         return wf._render_wavefront_impl(
             scene, cam, nodes, perm, cfg, interpret, segments,
-            None, leaf, int(sort_every), row0=row0, rows=slab)
+            None, leaf, int(sort_every), row0=row0, rows=slab,
+            spp_batch=int(spp_batch))
 
     img = jax.jit(jax.shard_map(
         shard_fn,

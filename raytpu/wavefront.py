@@ -32,8 +32,13 @@ Per-bounce math is raytpu.kernels.megakernel.make_bounce_body — the
 SAME ops as the megakernel and golden.py, so images are bit-identical
 to the golden oracle (asserted in tests/test_wavefront.py).
 
-One wave = one sample per pixel (spp_batch is fixed at 1: sequential
-RNG chains need it, and R = n_pixels is also the sort sweet spot).
+``spp_batch = B > 1`` folds B samples per pixel into the ray array
+(R = B * n_pixels) — "parallel" RNG mode only (independent per-(pixel,
+sample) counter streams; sequential seed chains force B = 1).  Folding
+is the lever against the tile-union problem: sort-group sizes scale
+with R, so with enough samples in flight each (rows x 128) kernel tile
+is a single position/direction cluster and the tile-coherent BVH walk
+culls like a per-ray walk would.
 """
 
 from __future__ import annotations
@@ -183,14 +188,23 @@ def _block_to_image(lin, hp, wp):
 def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                            cfg: RenderConfig, interpret: bool,
                            segments, tile_rows, leaf_size=None,
-                           sort_every: int = 1, row0=0, rows=None):
+                           sort_every: int = 1, row0=0, rows=None,
+                           spp_batch: int = 1):
     """Render rows [row0, row0+rows) of the cfg-sized frame as one
     wavefront.  ``row0`` may be traced (shard_map axis offset); RNG
     seeds and sort keys derive from ABSOLUTE pixel coords, so a sharded
     frame is bit-identical to the single-chip render."""
     h, w = (rows if rows is not None else cfg.height), cfg.width
     hp, wp = _pad32(h), _pad32(w)
-    R = hp * wp
+    B = int(spp_batch)
+    if B > 1:
+        if cfg.rng_mode != "parallel":
+            raise ValueError(
+                "spp_batch > 1 needs rng_mode='parallel' (sequential "
+                "seed chains are order-dependent within a pixel)")
+        if cfg.spp % B:
+            raise ValueError(f"spp_batch {B} must divide spp {cfg.spp}")
+    R = hp * wp * B
     rows = R // _TILE_W
     trows = tile_rows or min(_ROWS_DEFAULT, rows)
     while rows % trows:
@@ -246,14 +260,17 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
 
     def wave(carry, s):
         pid, seed_carry, rad_r, rad_g, rad_b = carry
-        px, py = _decode_pid(pid, wp)
+        # pid = original slot id: pixel-block slot major, sample minor
+        base = pid // B if B > 1 else pid
+        px, py = _decode_pid(base, wp)
         py = py + row0  # absolute image row (sharded slabs)
         valid = (px < w) & (py < cfg.height)
         if parallel:
+            k = s * B + pid % B if B > 1 else s  # global sample index
             sd = rng.fold_in(
                 rng.pixel_seed(px.astype(jnp.uint32),
                                py.astype(jnp.uint32)),
-                s.astype(jnp.uint32))
+                k.astype(jnp.uint32))
         else:
             sd = seed_carry
         fx = px.astype(jnp.float32)
@@ -288,18 +305,20 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         seed_out = jax.lax.bitcast_convert_type(planes[13], jnp.uint32)
         return (pid, seed_out, rad_r, rad_g, rad_b), None
 
-    px0, py0 = _decode_pid(pid0, wp)
+    px0, py0 = _decode_pid(pid0 // B if B > 1 else pid0, wp)
     py0 = py0 + row0
     seed0 = rng.pixel_seed(px0.astype(jnp.uint32), py0.astype(jnp.uint32))
     zero = jnp.zeros((R,), jnp.float32)
     carry = (pid0, seed0, zero, zero, zero)
     carry, _ = jax.lax.scan(wave, carry,
-                            jnp.arange(cfg.spp, dtype=jnp.int32))
+                            jnp.arange(cfg.spp // B, dtype=jnp.int32))
     pid, _, rad_r, rad_g, rad_b = carry
 
     # ONE unsort: scatter per-slot radiance sums back to block order
     lin = jnp.zeros((R, 3), jnp.float32).at[pid].set(
         jnp.stack([rad_r, rad_g, rad_b], axis=-1), unique_indices=True)
+    if B > 1:
+        lin = lin.reshape(hp * wp, B, 3).sum(axis=1)
     img = _block_to_image(lin, hp, wp)[:h, :w]
     return _to_gamma(img * np.float32(1.0 / cfg.spp), cfg.gamma)
 
@@ -315,24 +334,26 @@ def default_segments(depth: int) -> tuple[int, ...]:
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _render_wavefront(scene, cam, nodes, perm, cfg, interpret, segments,
-                      tile_rows, vis_w, leaf_size, sort_every):
+                      tile_rows, vis_w, leaf_size, sort_every, spp_batch):
     return _render_wavefront_impl(scene, cam, nodes, perm, cfg,
                                   interpret, segments, tile_rows,
-                                  leaf_size, sort_every)
+                                  leaf_size, sort_every,
+                                  spp_batch=spp_batch)
 
 
 def _wf_fwd(scene, cam, nodes, perm, cfg, interpret, segments, tile_rows,
-            vis_w, leaf_size, sort_every):
+            vis_w, leaf_size, sort_every, spp_batch):
     img = _render_wavefront_impl(scene, cam, nodes, perm, cfg,
                                  interpret, segments, tile_rows,
-                                 leaf_size, sort_every)
+                                 leaf_size, sort_every,
+                                 spp_batch=spp_batch)
     return img, (scene, cam, nodes, perm)
 
 
 def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size,
-            sort_every, res, ct):
+            sort_every, spp_batch, res, ct):
     # backward: the fused Pallas VJP kernel (gradkernel.py) — shared
     # with the megakernel path; the wavefront is a forward-schedule
     # change only, so the same per-pixel reverse sweep applies.
@@ -360,7 +381,8 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
                      interpret: bool | None = None,
                      tile_rows: int | None = None,
                      vis_w: float = 0.0,
-                     sort_every: int = 1) -> jnp.ndarray:
+                     sort_every: int = 1,
+                     spp_batch: int = 1) -> jnp.ndarray:
     """Full-frame sorted-wavefront render -> (H, W, 3) f32 image.
 
     Bit-identical (to 1 ulp; see tests/test_wavefront.py) to
@@ -370,9 +392,11 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
     are re-sorted; default ``(1, depth-1)`` sorts once after the first
     bounce.  Pass a BVH for large scenes.  ``tile_rows`` sets the rays
     -per-kernel-tile (rows x 128); larger tiles amortize traversal
-    overhead, smaller ones maximize coherence.  Differentiable: the
-    backward pass is the fused VJP kernel (``vis_w > 0`` adds
-    silhouette gradients).
+    overhead, smaller ones maximize coherence.  ``spp_batch = B`` folds
+    B samples per pixel into the ray array (parallel RNG mode only) —
+    B-times-larger sort groups, so large-scene traversal culls harder.
+    Differentiable: the backward pass is the fused VJP kernel
+    (``vis_w > 0`` adds silhouette gradients).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -387,4 +411,4 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
                              None if tile_rows is None else int(tile_rows),
                              float(vis_w),
                              None if bvh is None else bvh.leaf_size,
-                             int(sort_every))
+                             int(sort_every), int(spp_batch))

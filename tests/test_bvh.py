@@ -227,3 +227,63 @@ def test_native_builder_matches_numpy():
                                       np.asarray(b.nodes))
         np.testing.assert_array_equal(np.asarray(a.perm),
                                       np.asarray(b.perm))
+
+
+def test_sah_builder_invariants_and_traversal():
+    """Native binned-SAH builder: same layout contract as median split
+    (perm permutation, leaf tiling, forward skip pointers, containment)
+    and traversal agrees with brute force."""
+    import pytest
+    from raytpu import native
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    scene = raytpu.final_world()
+    b = bvh_mod.build_bvh(scene, leaf_size=8, builder="sah",
+                          pad_leaves=False)
+    nodes = np.asarray(b.nodes)
+    perm = np.asarray(b.perm).astype(int)
+    n, m = scene.count, len(nodes)
+    assert sorted(perm.tolist()) == list(range(n))
+    leaves = nodes[nodes[:, 7] > 0]
+    assert (leaves[:, 7] <= 8).all()
+    spans = sorted((int(r[6]), int(r[7])) for r in leaves)
+    cursor = 0
+    for start, count in spans:
+        assert start == cursor
+        cursor += count
+    assert cursor == n
+    for i, r in enumerate(nodes):
+        assert i + 1 <= int(r[8]) <= m
+    centers = np.asarray(scene.center, np.float64)[perm]
+    radii = np.asarray(scene.radius, np.float64)[perm]
+    rs = np.random.default_rng(11)
+    for _ in range(48):
+        ro = rs.uniform(-12, 12, 3)
+        ro[1] = rs.uniform(0.1, 6)
+        rd = rs.normal(size=3)
+        t_b, i_b = bvh_mod.closest_hit_numpy(nodes, centers, radii, ro, rd)
+        t_r, i_r = _brute(centers, radii, ro, rd)
+        if np.isinf(t_r):
+            assert np.isinf(t_b)
+        else:
+            np.testing.assert_allclose(t_b, t_r, rtol=1e-12)
+            assert i_b == i_r
+
+
+def test_sah_padded_render_matches_golden():
+    """SAH BVH through the interpret-mode megakernel == golden bitwise
+    (padded octant-ordered leaves, like the default builder)."""
+    import pytest
+    from raytpu import golden, native
+    from raytpu.kernels import megakernel
+    from raytpu.config import RenderConfig
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    cfg = RenderConfig(width=64, height=32, spp=1, depth=3)
+    scene = raytpu.random_world(seed=3, half_extent=4)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect)
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    b = bvh_mod.build_bvh(scene, leaf_size=8, builder="sah")
+    got = np.asarray(megakernel.render_pallas(scene, cam, cfg, bvh=b))
+    np.testing.assert_array_equal(got, want)
