@@ -377,14 +377,44 @@ def _trace_bwd(depth, t_min, vis_w, scatter_mode, saved, ct):
             g_center = g_center + dgc
             g_radius = g_radius + dgr
             # miss side: the nearest forward near-miss sphere gaining
-            # coverage; crude local estimate of the would-be radiance
-            # (one diffuse attenuation then sky)
+            # coverage.  Covered-radiance estimate BY MATERIAL at the
+            # grazing boundary (one bounce then sky):
+            #   diffuse -> albedo * sky(boundary normal): the scatter
+            #     direction normalize(n + s) averages toward n, and sky
+            #     is linear in unit-y, so sky(n) ~ E[sky(dir)];
+            #   metal   -> albedo * sky(reflect(d, n)): a grazing
+            #     reflection stays near the original direction;
+            #   glass   -> sky(reflect(d, n)) with UNIT attenuation
+            #     (Schlick reflectance -> 1 at grazing incidence).
+            C_m = scene.center[m_idx]
             alb_m = scene.albedo[m_idx]
+            mat_m = scene.mat_type[m_idx]
+            mocx = ox - C_m[..., 0]
+            mocy = oy - C_m[..., 1]
+            mocz = oz - C_m[..., 2]
+            a_m = _dot3(dx, dy, dz, dx, dy, dz)
+            hb_m = mocx * dx + mocy * dy + mocz * dz
+            t_ca = -hb_m / a_m  # closest approach along the ray
+            nbx, nby, nbz = _normalize3(mocx + t_ca * dx,
+                                        mocy + t_ca * dy,
+                                        mocz + t_ca * dz)
+            udx, udy, udz = _normalize3(dx, dy, dz)
+            rfx, rfy, rfz = _reflect(udx, udy, udz, nbx, nby, nbz)
+            n_r, n_g, n_b = _sky(nbx, nby, nbz)
+            f_r, f_g, f_b = _sky(rfx, rfy, rfz)
+            is_dm = mat_m == 0
+            is_gm = mat_m == 2
+
+            def est(alb_c, sky_n, sky_f):
+                return jnp.where(
+                    is_dm, alb_c * sky_n,
+                    jnp.where(is_gm, sky_f, alb_c * sky_f))
+
             dgc, dgr = boundary(
                 m_idx,
-                cr * skr * alb_m[..., 0] - v_r,
-                cg * skg * alb_m[..., 1] - v_g,
-                cb * skb * alb_m[..., 2] - v_b,
+                cr * est(alb_m[..., 0], n_r, f_r) - v_r,
+                cg * est(alb_m[..., 1], n_g, f_g) - v_g,
+                cb * est(alb_m[..., 2], n_b, f_b) - v_b,
                 nm_valid)
             g_center = g_center + dgc
             g_radius = g_radius + dgr

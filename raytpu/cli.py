@@ -70,7 +70,7 @@ def cmd_render(args) -> int:
             raise SystemExit(
                 "--bvh requires the pallas or wavefront backend")
         from raytpu.bvh import build_bvh
-        bvh = build_bvh(scene)
+        bvh = build_bvh(scene, builder=args.bvh_builder)
 
     if args.progressive:
         import jax
@@ -109,7 +109,7 @@ def cmd_render(args) -> int:
 
     img, stats = profiling.timed(
         lambda: raytpu.render(scene, cam, cfg, backend=args.backend,
-                              bvh=bvh),
+                              bvh=bvh, spp_batch=args.spp_batch),
         cfg, label="render")
     io.save_image(args.out, img)
     print(f"wrote {args.out}  "
@@ -203,6 +203,14 @@ def main(argv=None) -> int:
                         "parallel = per-sample streams (faster grads)")
     r.add_argument("--bvh", action="store_true",
                    help="build + use a BVH (pallas backend)")
+    r.add_argument("--bvh-builder", choices=("median", "sah"),
+                   default="median",
+                   help="BVH build heuristic (sah = native binned "
+                        "surface-area heuristic)")
+    r.add_argument("--spp-batch", type=int, default=1, metavar="B",
+                   help="wavefront backend + --rng-mode parallel: fold "
+                        "B samples per pixel into the ray array "
+                        "(larger sort groups, faster large scenes)")
     r.add_argument("--progressive", type=int, default=0, metavar="BATCH",
                    help="render progressively in BATCH-sample steps")
     r.add_argument("--preview-every", type=int, default=0, metavar="K",

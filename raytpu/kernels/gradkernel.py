@@ -626,11 +626,12 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     # -diffuse-bounce radiance estimate
                     def nm_body(j, st):
                         (best, bi_m, m_cx, m_cy, m_cz, m_rad,
-                         m_ar, m_ag, m_ab) = st
+                         m_mt, m_ar, m_ag, m_ab) = st
                         s_cx = sc_ref[0, j]
                         s_cy = sc_ref[1, j]
                         s_cz = sc_ref[2, j]
                         s_rad = sc_ref[3, j]
+                        s_mt = sc_ref[4, j]
                         s_ar = sc_ref[5, j]
                         s_ag = sc_ref[6, j]
                         s_ab = sc_ref[7, j]
@@ -650,21 +651,48 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                                 jnp.where(win, s_cy, m_cy),
                                 jnp.where(win, s_cz, m_cz),
                                 jnp.where(win, s_rad, m_rad),
+                                jnp.where(win, s_mt, m_mt),
                                 jnp.where(win, s_ar, m_ar),
                                 jnp.where(win, s_ag, m_ag),
                                 jnp.where(win, s_ab, m_ab))
 
                     nm0 = (zero - _INF, zero, zero, zero, zero, one,
-                           zero, zero, zero)
+                           zero, zero, zero, zero)
                     (best, bi_m, m_cx, m_cy, m_cz, m_rad,
-                     m_ar, m_ag, m_ab) = jax.lax.fori_loop(
+                     m_mt, m_ar, m_ag, m_ab) = jax.lax.fori_loop(
                         0, dyn_nsph, nm_body, nm0)
                     nm_mask = missed & (best > -_INF)
+                    # covered-radiance estimate by material at the
+                    # grazing boundary (adjoint._trace_bwd's twin):
+                    # diffuse -> alb * sky(boundary normal); metal ->
+                    # alb * sky(reflect); glass -> sky(reflect), unit
+                    # attenuation (grazing Schlick -> 1)
+                    mocx = ox - m_cx
+                    mocy = oy - m_cy
+                    mocz = oz - m_cz
+                    hb_m = mocx * dx + mocy * dy + mocz * dz
+                    t_ca = -hb_m / a_d
+                    nbx, nby, nbz = _normalize3(mocx + t_ca * dx,
+                                                mocy + t_ca * dy,
+                                                mocz + t_ca * dz)
+                    udx, udy, udz = _normalize3(dx, dy, dz)
+                    rfx, rfy, rfz = _reflect(udx, udy, udz,
+                                             nbx, nby, nbz)
+                    n_r, n_g, n_b = _sky(nbx, nby, nbz)
+                    f_r, f_g, f_b = _sky(rfx, rfy, rfz)
+                    is_dm = m_mt == 0.0
+                    is_gm = m_mt == 2.0
+
+                    def est(alb_c, sky_n, sky_f):
+                        return jnp.where(
+                            is_dm, alb_c * sky_n,
+                            jnp.where(is_gm, sky_f, alb_c * sky_f))
+
                     mcx, mcy, mcz, mrad = boundary(
                         m_cx, m_cy, m_cz, m_rad,
-                        cr * skr * m_ar - v_r,
-                        cg * skg * m_ag - v_g,
-                        cb * skb * m_ab - v_b,
+                        cr * est(m_ar, n_r, f_r) - v_r,
+                        cg * est(m_ag, n_g, f_g) - v_g,
+                        cb * est(m_ab, n_b, f_b) - v_b,
                         nm_mask)
 
                     def nm_cond(st2):

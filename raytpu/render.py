@@ -46,15 +46,20 @@ def _backend(name: str, bvh=None) -> str:
 
 
 def render(scene: Scene, cam: Camera, cfg: RenderConfig,
-           backend: str = "auto", bvh=None) -> jnp.ndarray:
+           backend: str = "auto", bvh=None,
+           spp_batch: int = 1) -> jnp.ndarray:
     """Render -> (H, W, 3) f32 image in [0, 1].
 
     Row 0 is the bottom scanline (v = 0); use :func:`raytpu.io.save_image`
     to write a display-oriented file.  ``bvh`` (see
     :func:`raytpu.bvh.build_bvh`) accelerates large scenes on the pallas
     backend; the golden backend ignores it (it is the brute-force oracle).
+    ``spp_batch > 1`` (wavefront backend, parallel RNG mode) folds that
+    many samples per pixel into the ray array for larger sort groups.
     """
     backend = _backend(backend, bvh)
+    if spp_batch > 1 and backend != "wavefront":
+        raise ValueError("spp_batch > 1 needs the wavefront backend")
     if backend == "golden":
         return golden.render_golden(scene, cam, cfg)
     if backend == "pallas":
@@ -62,7 +67,8 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
         return megakernel.render_pallas(scene, cam, cfg, bvh=bvh)
     if backend == "wavefront":
         from raytpu.wavefront import render_wavefront
-        return render_wavefront(scene, cam, cfg, bvh=bvh)
+        return render_wavefront(scene, cam, cfg, bvh=bvh,
+                                spp_batch=spp_batch)
     raise ValueError(f"unknown backend: {backend!r}")
 
 
