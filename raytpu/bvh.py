@@ -52,7 +52,7 @@ from raytpu.scene import Scene
 
 
 @functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["nodes", "perm"],
+                   data_fields=["nodes", "perm", "flat"],
                    meta_fields=["leaf_size"])
 @dataclasses.dataclass(frozen=True)
 class BVH:
@@ -63,6 +63,14 @@ class BVH:
     # entries (kernels then STATICALLY UNROLL the leaf loop — measured
     # ~1.5x on the sphere-test sweep); None = legacy variable leaves
     leaf_size: int | None = None
+    # (8*L, 9) leaf-only rows of the octant-ordered copies (see
+    # build_bvh), or None.  Copy ``o``'s leaves appear in that copy's
+    # preorder position, i.e. front-to-back for direction octant ``o``.
+    # Kernels with few leaves iterate this flat list directly — same
+    # leaves entered, same ``tfar <= t_best`` front-to-back culling, but
+    # no interior-node visits and no skip-pointer scalar dependency
+    # chain between iterations.
+    flat: jnp.ndarray | None = None
 
     @property
     def n_nodes(self) -> int:
@@ -74,6 +82,11 @@ class BVH:
         copies when ``leaf_size`` is set (padded static leaves)."""
         m = self.nodes.shape[0]
         return m // 8 if self.leaf_size else m
+
+    @property
+    def n_leaves(self) -> int:
+        """Leaves per octant copy (0 without a flat leaf list)."""
+        return 0 if self.flat is None else self.flat.shape[0] // 8
 
 
 def _pad_leaf_nodes(nodes: np.ndarray, perm: np.ndarray,
@@ -143,6 +156,14 @@ def _octant_orders(nodes: np.ndarray) -> np.ndarray:
     return out.reshape(8 * m, 9)
 
 
+def _flat_leaves(nodes_arr: np.ndarray) -> np.ndarray:
+    """(8*M, 9) octant-ordered nodes -> (8*L, 9) leaf-only rows (each
+    copy's leaves kept in its preorder = front-to-back position)."""
+    m = nodes_arr.shape[0] // 8
+    copies = nodes_arr.reshape(8, m, 9)
+    return np.stack([c[c[:, 7] > 0] for c in copies]).reshape(-1, 9)
+
+
 def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
               use_native: bool = True, pad_leaves: bool = True,
               builder: str = "median") -> BVH:
@@ -189,7 +210,9 @@ def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
                 nodes_arr = _octant_orders(nodes_arr)
             return BVH(nodes=jnp.asarray(nodes_arr),
                        perm=jnp.asarray(perm_arr),
-                       leaf_size=leaf_size if pad_leaves else None)
+                       leaf_size=leaf_size if pad_leaves else None,
+                       flat=(jnp.asarray(_flat_leaves(nodes_arr))
+                             if pad_leaves else None))
     radius = np.abs(radius)
     lo = center - radius[:, None]
     hi = center + radius[:, None]
@@ -226,7 +249,9 @@ def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
         nodes_arr = _octant_orders(nodes_arr)
     return BVH(nodes=jnp.asarray(nodes_arr),
                perm=jnp.asarray(perm_arr),
-               leaf_size=leaf_size if pad_leaves else None)
+               leaf_size=leaf_size if pad_leaves else None,
+               flat=(jnp.asarray(_flat_leaves(nodes_arr))
+                     if pad_leaves else None))
 
 
 def permute_scene(scene: Scene, perm) -> Scene:

@@ -86,7 +86,17 @@ def hit_world(scene: Scene, ro, rd, t_min):
     disc = half_b * half_b - a * c
 
     has_root = disc >= 0
-    sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+    # Forward value: exact sqrt of the masked disc.  Gradient: from the
+    # 1e-20-clamped branch — d sqrt blows up at disc == 0 (tangent ray),
+    # which TPU FMA contraction CAN hit exactly (CPU rounding rarely
+    # does), turning one grazing bounce-2 hit into NaN grads for every
+    # parameter.  Same straight-through guard as adjoint.py:81-84 /
+    # gradkernel.py:76-79, so golden autodiff and the hand adjoints
+    # agree (both give 0 at the measure-zero tangency; the silhouette
+    # boundary term is handled separately by vis_w).
+    sqrt_safe = jnp.sqrt(jnp.maximum(disc, 1e-20))
+    sqrt_exact = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+    sqrtd = sqrt_safe + jax.lax.stop_gradient(sqrt_exact - sqrt_safe)
     root1 = (-half_b - sqrtd) * inv_a
     root2 = (-half_b + sqrtd) * inv_a
     # accept near root if >= t_min (reference rejects root < t_min), else far

@@ -55,6 +55,15 @@ _NO_EARLY_EXIT = bool(os.environ.get("RAYTPU_NO_EARLY_EXIT"))
 # debug: comma-list of kernel pieces to stub out when measuring cost
 # {nohit, noscatter, norng}; results are WRONG with any flag set
 _ABLATE = frozenset(os.environ.get("RAYTPU_ABLATE", "").split(","))
+# flat leaf-list traversal kicks in when the tree has at most this many
+# leaves per octant copy (O(L) bbox tests beat the skip-pointer walk's
+# serial scalar chain up to moderate L); RAYTPU_NO_FLAT=1 forces the walk
+_FLAT_MAX_LEAVES = (0 if os.environ.get("RAYTPU_NO_FLAT")
+                    else int(os.environ.get("RAYTPU_FLAT_MAX", "64")))
+# statically unroll the flat leaf loop up to this many leaves (L x
+# leaf_size sphere tests of straight-line code; compile time grows with
+# the product, so the cap is conservative)
+_FLAT_UNROLL_MAX = int(os.environ.get("RAYTPU_FLAT_UNROLL_MAX", "0"))
 _INF = np.float32(3.0e38)
 _SAFE_EPS = np.float32(1e-20)
 
@@ -103,7 +112,9 @@ def _to_gamma(x, gamma):
 
 def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                      scatter_mode: str = "v2",
-                     static_leaf: int | None = None):
+                     static_leaf: int | None = None,
+                     flat_leaves: bool = False,
+                     flat_unroll_n: int | None = None):
     """ONE bounce of the path-trace state machine over an (8, 128) tile.
 
     Returns ``body(state) -> state`` with state
@@ -112,7 +123,14 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
     source of truth for the per-bounce kernel math: both the megakernel's
     in-register spp x depth loop and the wavefront kernel's segment loop
     call this.  ``nd_ref=None`` selects the brute-force sweep; otherwise
-    the tile-coherent skip-pointer BVH walk (raytpu/bvh.py).
+    the tile-coherent skip-pointer BVH walk (raytpu/bvh.py), or — with
+    ``flat_leaves`` — the flat leaf-list iteration: ``nd_ref`` then
+    holds the transposed ``bvh.flat`` (leaf rows only, 8 octant-ordered
+    copies) and ``dyn_nodes`` is the LEAF count per copy.  The flat walk
+    visits the same leaves with the same front-to-back ``tfar <= t_best``
+    culling, but pays no interior-node visits and carries no
+    skip-pointer scalar dependency between iterations (the next leaf
+    index is ``k + 1``, known before the current leaf resolves).
     """
 
     def body(st):
@@ -208,60 +226,102 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
             else:
                 nbase = jnp.int32(0)
 
-            def t_cond(ts):
-                return ts[0] < dyn_nodes
+            if flat_leaves:
+                assert static_leaf, "flat traversal needs padded leaves"
 
-            def t_body(ts):
-                rel = ts[0]
-                node = nbase + rel
-                hs = ts[1:]
-                tb = hs[0]
-                t1 = (nd_ref[0, node] - ox) * inv_dx
-                t2 = (nd_ref[3, node] - ox) * inv_dx
-                t3 = (nd_ref[1, node] - oy) * inv_dy
-                t4 = (nd_ref[4, node] - oy) * inv_dy
-                t5 = (nd_ref[2, node] - oz) * inv_dz
-                t6 = (nd_ref[5, node] - oz) * inv_dz
-                tnear = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t1, t2),
-                                jnp.minimum(t3, t4)),
-                    jnp.maximum(jnp.minimum(t5, t6), t_min))
-                tfar = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t1, t2),
-                                jnp.maximum(t3, t4)),
-                    jnp.minimum(jnp.maximum(t5, t6), tb))
-                # NaN (origin on a padded face) -> treated as hit:
-                # conservative, never misses true intersections
-                boxhit = ~(tnear > tfar) & alive
-                anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
-                start = nd_ref[6, node].astype(jnp.int32)
-                count = nd_ref[7, node].astype(jnp.int32)
-                skip = nd_ref[8, node].astype(jnp.int32)
-                if static_leaf:
-                    # padded leaves: every leaf holds EXACTLY static_leaf
-                    # entries, so the entered-leaf body is straight-line
-                    # unrolled vector code (no per-sphere loop control —
-                    # measured ~1.5x on the sweep); lax.cond still skips
-                    # un-entered leaves entirely
+                def leaf_iter(k, hs):
+                    tb = hs[0]
+                    node = nbase + k
+                    t1 = (nd_ref[0, node] - ox) * inv_dx
+                    t2 = (nd_ref[3, node] - ox) * inv_dx
+                    t3 = (nd_ref[1, node] - oy) * inv_dy
+                    t4 = (nd_ref[4, node] - oy) * inv_dy
+                    t5 = (nd_ref[2, node] - oz) * inv_dz
+                    t6 = (nd_ref[5, node] - oz) * inv_dz
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t1, t2),
+                                    jnp.minimum(t3, t4)),
+                        jnp.maximum(jnp.minimum(t5, t6), t_min))
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t1, t2),
+                                    jnp.maximum(t3, t4)),
+                        jnp.minimum(jnp.maximum(t5, t6), tb))
+                    boxhit = ~(tnear > tfar) & alive
+                    anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
+                    start = nd_ref[6, node].astype(jnp.int32)
+
                     def do_leaf(hs):
-                        for k in range(static_leaf):
-                            hs = sphere_body(start + k, hs)
+                        for kk in range(static_leaf):
+                            hs = sphere_body(start + kk, hs)
                         return hs
 
-                    hs = jax.lax.cond(anyhit & (count > 0), do_leaf,
-                                      lambda hs: hs, hs)
-                else:
-                    count_eff = jnp.where(anyhit, count, 0)
-                    hs = jax.lax.fori_loop(
-                        start, start + count_eff, sphere_body, hs)
-                # skip pointers are relative within one octant copy
-                node_next = jnp.where(anyhit & (count == 0),
-                                      rel + 1, skip)
-                return (node_next, *hs)
+                    return jax.lax.cond(anyhit, do_leaf, lambda h: h, hs)
 
-            out = jax.lax.while_loop(
-                t_cond, t_body, (jnp.int32(0), *hs0))
-            hs = out[1:]
+                if flat_unroll_n:
+                    # fully static leaf loop: L independent slab tests
+                    # unroll as straight-line vector code — no loop
+                    # control, no scalar dependency between iterations
+                    # beyond the tb clamp
+                    hs = hs0
+                    for k in range(flat_unroll_n):
+                        hs = leaf_iter(jnp.int32(k), hs)
+                else:
+                    hs = jax.lax.fori_loop(0, dyn_nodes, leaf_iter, hs0)
+            else:
+                def t_cond(ts):
+                    return ts[0] < dyn_nodes
+
+                def t_body(ts):
+                    rel = ts[0]
+                    node = nbase + rel
+                    hs = ts[1:]
+                    tb = hs[0]
+                    t1 = (nd_ref[0, node] - ox) * inv_dx
+                    t2 = (nd_ref[3, node] - ox) * inv_dx
+                    t3 = (nd_ref[1, node] - oy) * inv_dy
+                    t4 = (nd_ref[4, node] - oy) * inv_dy
+                    t5 = (nd_ref[2, node] - oz) * inv_dz
+                    t6 = (nd_ref[5, node] - oz) * inv_dz
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t1, t2),
+                                    jnp.minimum(t3, t4)),
+                        jnp.maximum(jnp.minimum(t5, t6), t_min))
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t1, t2),
+                                    jnp.maximum(t3, t4)),
+                        jnp.minimum(jnp.maximum(t5, t6), tb))
+                    # NaN (origin on a padded face) -> treated as hit:
+                    # conservative, never misses true intersections
+                    boxhit = ~(tnear > tfar) & alive
+                    anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
+                    start = nd_ref[6, node].astype(jnp.int32)
+                    count = nd_ref[7, node].astype(jnp.int32)
+                    skip = nd_ref[8, node].astype(jnp.int32)
+                    if static_leaf:
+                        # padded leaves: every leaf holds EXACTLY
+                        # static_leaf entries, so the entered-leaf body is
+                        # straight-line unrolled vector code (no per-sphere
+                        # loop control — measured ~1.5x on the sweep);
+                        # lax.cond still skips un-entered leaves entirely
+                        def do_leaf(hs):
+                            for k in range(static_leaf):
+                                hs = sphere_body(start + k, hs)
+                            return hs
+
+                        hs = jax.lax.cond(anyhit & (count > 0), do_leaf,
+                                          lambda hs: hs, hs)
+                    else:
+                        count_eff = jnp.where(anyhit, count, 0)
+                        hs = jax.lax.fori_loop(
+                            start, start + count_eff, sphere_body, hs)
+                    # skip pointers are relative within one octant copy
+                    node_next = jnp.where(anyhit & (count == 0),
+                                          rel + 1, skip)
+                    return (node_next, *hs)
+
+                out = jax.lax.while_loop(
+                    t_cond, t_body, (jnp.int32(0), *hs0))
+                hs = out[1:]
         (tb, h_cx, h_cy, h_cz, h_rad,
          h_mt, h_ar, h_ag, h_ab, h_mp) = hs
 
@@ -406,7 +466,8 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
 
 def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                  carry_state: bool = False, block_w: int = _TILE_W,
-                 static_leaf: int | None = None):
+                 static_leaf: int | None = None,
+                 flat_leaves: bool = False):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -477,13 +538,18 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                    else cam_ref[20].astype(jnp.int32))
         dyn_nsph = (n_spheres if "nsph" in _STATIC_BOUNDS
                     else cam_ref[21].astype(jnp.int32))
-        dyn_s0 = cam_ref[24].astype(jnp.uint32)  # parallel sample offset
+        # parallel sample offset; i32 hop — Mosaic has no f32->u32 cast
+        # (value-identical: s0 is a small non-negative count)
+        dyn_s0 = cam_ref[24].astype(jnp.int32).astype(jnp.uint32)
 
         dyn_nodes = (0 if not n_nodes else
                      (n_nodes if "nodes" in _STATIC_BOUNDS
                       else cam_ref[22].astype(jnp.int32)))
+        unroll = (n_nodes if flat_leaves
+                  and n_nodes <= _FLAT_UNROLL_MAX else None)
         bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes,
-                                  t_min, cfg.scatter_mode, static_leaf)
+                                  t_min, cfg.scatter_mode, static_leaf,
+                                  flat_leaves, unroll)
 
         def trace_one(ox, oy, oz, dx, dy, dz, sd):
             """Bounce loop with whole-tile early exit (golden.trace)."""
@@ -585,7 +651,7 @@ def _pack_scene(scene: Scene) -> jnp.ndarray:
 def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
                             interpret: bool, nodes=None, perm=None,
                             row0=0, rows=None, vma=None, block_w=_TILE_W,
-                            leaf_size=None):
+                            leaf_size=None, flat=None):
     """Render rows [row0, row0+rows) of the cfg-sized frame.
 
     ``rows=None`` renders the whole frame.  ``row0`` may be traced (it
@@ -619,13 +685,22 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
         # spheres reordered into BVH leaf order; nodes transposed for
         # scalar row reads
         from raytpu.bvh import permute_scene
-        # padded BVHs store 8 octant-ordered copies: the walk covers one
-        m = nodes.shape[0] // 8 if leaf_size else nodes.shape[0]
+        use_flat = (flat is not None
+                    and flat.shape[0] // 8 <= _FLAT_MAX_LEAVES)
+        if use_flat:
+            # flat leaf-list traversal: leaf rows only, 8 octant copies
+            m = flat.shape[0] // 8
+            nd = flat
+        else:
+            # padded BVHs store 8 octant-ordered copies: walk covers one
+            m = nodes.shape[0] // 8 if leaf_size else nodes.shape[0]
+            nd = nodes
         kernel = _make_kernel(cfg, n, n_nodes=m, block_w=block_w,
-                              static_leaf=leaf_size)
+                              static_leaf=leaf_size,
+                              flat_leaves=use_flat)
         operands = (_pack_camera(cam, cfg, n, m, row0),
                     _pack_scene(permute_scene(scene, perm)),
-                    nodes.T.astype(jnp.float32))
+                    nd.T.astype(jnp.float32))
         in_specs = [smem, smem, smem]
     r, g, b = pl.pallas_call(
         kernel,
@@ -698,23 +773,25 @@ def _bwd(cfg, interpret, block_w, vis_w, res, ct):
 _render_pallas.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _render_pallas_bvh(scene: Scene, cam: Camera, nodes, perm,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _render_pallas_bvh(scene: Scene, cam: Camera, nodes, perm, flat,
                        cfg: RenderConfig, interpret: bool, block_w: int,
                        vis_w: float, leaf_size):
     return _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm,
-                                   block_w=block_w, leaf_size=leaf_size)
+                                   block_w=block_w, leaf_size=leaf_size,
+                                   flat=flat)
 
 
-def _fwd_bvh(scene, cam, nodes, perm, cfg, interpret, block_w, vis_w,
-             leaf_size):
+def _fwd_bvh(scene, cam, nodes, perm, flat, cfg, interpret, block_w,
+             vis_w, leaf_size):
     img = _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm,
-                                  block_w=block_w, leaf_size=leaf_size)
-    return img, (scene, cam, nodes, perm)
+                                  block_w=block_w, leaf_size=leaf_size,
+                                  flat=flat)
+    return img, (scene, cam, nodes, perm, flat)
 
 
 def _bwd_bvh(cfg, interpret, block_w, vis_w, leaf_size, res, ct):
-    scene, cam, nodes, perm = res
+    scene, cam, nodes, perm, flat = res
     if not interpret:
         from raytpu.bvh import BVH
         from raytpu.kernels import gradkernel
@@ -725,7 +802,8 @@ def _bwd_bvh(cfg, interpret, block_w, vis_w, leaf_size, res, ct):
     else:
         ds, dc = _golden_bwd(cfg, (scene, cam), ct, vis_w)
     # BVH geometry is derived data: no cotangent (all-f32 by design)
-    return ds, dc, jnp.zeros_like(nodes), jnp.zeros_like(perm)
+    return (ds, dc, jnp.zeros_like(nodes), jnp.zeros_like(perm),
+            jax.tree.map(jnp.zeros_like, flat))
 
 
 _render_pallas_bvh.defvjp(_fwd_bvh, _bwd_bvh)
@@ -767,12 +845,16 @@ def accumulate_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
         in_specs = [smem, smem]
     else:
         from raytpu.bvh import permute_scene
-        m = bvh.n_trav
+        use_flat = (bvh.flat is not None
+                    and bvh.n_leaves <= _FLAT_MAX_LEAVES)
+        m = bvh.n_leaves if use_flat else bvh.n_trav
+        nd = bvh.flat if use_flat else bvh.nodes
         kernel = _make_kernel(cfg, n, n_nodes=m, carry_state=True,
-                              static_leaf=bvh.leaf_size)
+                              static_leaf=bvh.leaf_size,
+                              flat_leaves=use_flat)
         operands = [_pack_camera(cam, cfg, n, m, spp=spp, s0=samples0),
                     _pack_scene(permute_scene(scene, bvh.perm)),
-                    bvh.nodes.T.astype(jnp.float32)]
+                    nd.T.astype(jnp.float32)]
         in_specs = [smem, smem, smem]
     operands += [acc_pad[:, :, 0], acc_pad[:, :, 1], acc_pad[:, :, 2],
                  seed_f]
@@ -816,6 +898,6 @@ def render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
     if bvh is None:
         return _render_pallas(scene, cam, cfg, bool(interpret), block_w,
                               float(vis_w))
-    return _render_pallas_bvh(scene, cam, bvh.nodes, bvh.perm,
+    return _render_pallas_bvh(scene, cam, bvh.nodes, bvh.perm, bvh.flat,
                               cfg, bool(interpret), block_w,
                               float(vis_w), bvh.leaf_size)

@@ -136,12 +136,13 @@ def render_sharded_pallas(scene: Scene, cam: Camera, cfg: RenderConfig, *,
     nodes = None if bvh is None else bvh.nodes
     perm = None if bvh is None else bvh.perm
     leaf = None if bvh is None else bvh.leaf_size
+    flat = None if bvh is None else bvh.flat
 
     def shard_fn(scene, cam):
         row0 = jax.lax.axis_index(AXIS) * slab
         return megakernel._render_pallas_fwd_impl(
             scene, cam, cfg, interpret, nodes, perm,
-            row0=row0, rows=slab, leaf_size=leaf)
+            row0=row0, rows=slab, leaf_size=leaf, flat=flat)
 
     # check_vma=False: a pure per-device map with no collectives (the
     # Pallas interpreter's internals mix varying/unvaried operands and
@@ -175,6 +176,7 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
     nodes = None if bvh is None else bvh.nodes
     perm = None if bvh is None else bvh.perm
     leaf = None if bvh is None else bvh.leaf_size
+    flat = None if bvh is None else bvh.flat
     if segments is None:
         segments = wf.default_segments(cfg.depth)
     segments = tuple(int(s) for s in segments)
@@ -184,7 +186,7 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
         return wf._render_wavefront_impl(
             scene, cam, nodes, perm, cfg, interpret, segments,
             None, leaf, int(sort_every), row0=row0, rows=slab,
-            spp_batch=int(spp_batch))
+            spp_batch=int(spp_batch), flat=flat)
 
     img = jax.jit(jax.shard_map(
         shard_fn,
@@ -220,12 +222,13 @@ def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
     nodes = None if bvh is None else bvh.nodes
     perm = None if bvh is None else bvh.perm
     leaf = None if bvh is None else bvh.leaf_size
+    flat = None if bvh is None else bvh.flat
 
     def shard_fn(scene, cam, target_slab):
         row0 = jax.lax.axis_index(AXIS) * slab
         img = megakernel._render_pallas_fwd_impl(
             scene, cam, cfg, interpret, nodes, perm,
-            row0=row0, rows=slab, leaf_size=leaf)                       # (slab, w, 3)
+            row0=row0, rows=slab, leaf_size=leaf, flat=flat)                       # (slab, w, 3)
         # rows beyond the real image carry no loss
         valid = ((row0 + jnp.arange(slab)) < cfg.height)[:, None, None]
         diff = jnp.where(valid, img - target_slab, 0.0)

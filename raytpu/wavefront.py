@@ -73,7 +73,8 @@ _ROWS_DEFAULT = 32
 
 def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
                          scatter_mode: str = "v2",
-                         static_leaf: int | None = None):
+                         static_leaf: int | None = None,
+                         flat_leaves: bool = False):
     """Pallas kernel: run up to ``n_bounces`` bounces over one tile of
     consecutive ray slots, then emit the next sort key."""
 
@@ -103,9 +104,12 @@ def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
              rr, rg, rb, al, sdf) = (r[:, :] for r in ins)
             sd = pltpu.bitcast(sdf, jnp.uint32)
 
+            from raytpu.kernels.megakernel import _FLAT_UNROLL_MAX
+            unroll = (n_nodes if flat_leaves
+                      and n_nodes <= _FLAT_UNROLL_MAX else None)
             bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph,
                                       dyn_nodes, t_min, scatter_mode,
-                                      static_leaf)
+                                      static_leaf, flat_leaves, unroll)
 
             def cond(st):
                 return (st[0] < dyn_bounces) & (jnp.max(st[13]) > 0)
@@ -189,7 +193,7 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                            cfg: RenderConfig, interpret: bool,
                            segments, tile_rows, leaf_size=None,
                            sort_every: int = 1, row0=0, rows=None,
-                           spp_batch: int = 1):
+                           spp_batch: int = 1, flat=None):
     """Render rows [row0, row0+rows) of the cfg-sized frame as one
     wavefront.  ``row0`` may be traced (shard_map axis offset); RNG
     seeds and sort keys derive from ABSOLUTE pixel coords, so a sharded
@@ -216,12 +220,21 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
     inv_h = np.float32(1.0 / (cfg.height - 1))  # full-frame v coords
 
     n = scene.count
+    use_flat = False
     if nodes is not None:
         from raytpu.bvh import permute_scene
+        from raytpu.kernels.megakernel import _FLAT_MAX_LEAVES
         packed = _pack_scene(permute_scene(scene, perm))
-        nodes_t = nodes.T.astype(jnp.float32)
-        # padded BVHs store 8 octant-ordered copies: the walk covers one
-        m = nodes.shape[0] // 8 if leaf_size else nodes.shape[0]
+        use_flat = (flat is not None
+                    and flat.shape[0] // 8 <= _FLAT_MAX_LEAVES)
+        if use_flat:
+            # flat leaf-list traversal (bvh.flat): leaf rows only
+            nodes_t = flat.T.astype(jnp.float32)
+            m = flat.shape[0] // 8
+        else:
+            # padded BVHs store 8 octant-ordered copies: walk covers one
+            nodes_t = nodes.T.astype(jnp.float32)
+            m = nodes.shape[0] // 8 if leaf_size else nodes.shape[0]
     else:
         packed = _pack_scene(scene)
         nodes_t = None
@@ -229,7 +242,7 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
     lo, scale = _key_bounds(scene)
 
     kernel = _make_segment_kernel(n, m, t_min, trows, cfg.scatter_mode,
-                                  leaf_size)
+                                  leaf_size, use_flat)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = pl.BlockSpec((trows, _TILE_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -334,22 +347,23 @@ def default_segments(depth: int) -> tuple[int, ...]:
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
-def _render_wavefront(scene, cam, nodes, perm, cfg, interpret, segments,
-                      tile_rows, vis_w, leaf_size, sort_every, spp_batch):
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def _render_wavefront(scene, cam, nodes, perm, flat, cfg, interpret,
+                      segments, tile_rows, vis_w, leaf_size, sort_every,
+                      spp_batch):
     return _render_wavefront_impl(scene, cam, nodes, perm, cfg,
                                   interpret, segments, tile_rows,
                                   leaf_size, sort_every,
-                                  spp_batch=spp_batch)
+                                  spp_batch=spp_batch, flat=flat)
 
 
-def _wf_fwd(scene, cam, nodes, perm, cfg, interpret, segments, tile_rows,
-            vis_w, leaf_size, sort_every, spp_batch):
+def _wf_fwd(scene, cam, nodes, perm, flat, cfg, interpret, segments,
+            tile_rows, vis_w, leaf_size, sort_every, spp_batch):
     img = _render_wavefront_impl(scene, cam, nodes, perm, cfg,
                                  interpret, segments, tile_rows,
                                  leaf_size, sort_every,
-                                 spp_batch=spp_batch)
-    return img, (scene, cam, nodes, perm)
+                                 spp_batch=spp_batch, flat=flat)
+    return img, (scene, cam, nodes, perm, flat)
 
 
 def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size,
@@ -358,7 +372,7 @@ def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size,
     # with the megakernel path; the wavefront is a forward-schedule
     # change only, so the same per-pixel reverse sweep applies.
     from raytpu.kernels.megakernel import _golden_bwd
-    scene, cam, nodes, perm = res
+    scene, cam, nodes, perm, flat = res
     if not interpret:
         from raytpu.kernels import gradkernel
         bvh = None
@@ -370,7 +384,8 @@ def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size,
     else:
         ds, dc = _golden_bwd(cfg, (scene, cam), ct, vis_w)
     return (ds, dc, jax.tree.map(jnp.zeros_like, nodes),
-            jax.tree.map(jnp.zeros_like, perm))
+            jax.tree.map(jnp.zeros_like, perm),
+            jax.tree.map(jnp.zeros_like, flat))
 
 
 _render_wavefront.defvjp(_wf_fwd, _wf_bwd)
@@ -406,7 +421,8 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
     assert sum(segments) == cfg.depth, (segments, cfg.depth)
     nodes = bvh.nodes if bvh is not None else None
     perm = bvh.perm if bvh is not None else None
-    return _render_wavefront(scene, cam, nodes, perm, cfg,
+    flat = bvh.flat if bvh is not None else None
+    return _render_wavefront(scene, cam, nodes, perm, flat, cfg,
                              bool(interpret), segments,
                              None if tile_rows is None else int(tile_rows),
                              float(vis_w),
