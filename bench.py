@@ -131,16 +131,25 @@ def bench_config2(extra):
 def bench_config4(extra):
     """500-sphere final scene, 800x400 20spp depth 12 (the scaling config)."""
     from raytpu.bvh import build_bvh
+    from raytpu.wavefront import render_wavefront
     cfg = RenderConfig(width=800, height=400, spp=20, depth=12)
+    # measured-best large-scene recipe (scripts/probe_split.py sweep):
+    # flat leaf-list traversal (leaf 32), per-sample RNG streams with 2
+    # spp folded per wave, NO sorting (flat traversal is coherence
+    # -independent, so the sort is pure overhead)
+    cfg_best = RenderConfig(width=800, height=400, spp=20, depth=12,
+                            rng_mode="parallel")
     scene = raytpu.final_world()
     bvh = build_bvh(scene, leaf_size=16)
+    bvh32 = build_bvh(scene, leaf_size=32)
     rays = cfg.width * cfg.height * cfg.spp
 
     for name, frame in (
         ("megakernel", lambda s, c: jnp.sum(
             render(s, c, cfg, backend="pallas", bvh=bvh))),
         ("wavefront", lambda s, c: jnp.sum(
-            render(s, c, cfg, backend="wavefront", bvh=bvh))),
+            render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2,
+                             segments=(cfg_best.depth,)))),
     ):
         f = _batch_frames(frame, n_frames=2)
         t = _time_calls(f, scene, cfg.aspect) / 2
@@ -172,7 +181,7 @@ def bench_refv2(extra):
     from raytpu.wavefront import render_wavefront
     cfg = REFERENCE_V2
     scene = raytpu.random_world()
-    bvh = build_bvh(scene, leaf_size=16)
+    bvh = build_bvh(scene, leaf_size=32)
     rays = cfg.width * cfg.height * cfg.spp
 
     @jax.jit
