@@ -64,6 +64,13 @@ _FLAT_MAX_LEAVES = (0 if os.environ.get("RAYTPU_NO_FLAT")
 # leaf_size sphere tests of straight-line code; compile time grows with
 # the product, so the cap is conservative)
 _FLAT_UNROLL_MAX = int(os.environ.get("RAYTPU_FLAT_UNROLL_MAX", "0"))
+# dense-MXU hit stage: "auto" engages it on compiled kernels when the
+# scene has at least RAYTPU_DENSE_MIN spheres; "1" forces it on
+# (including interpret mode), "0" off.  See make_bounce_body.
+_DENSE_MODE = os.environ.get("RAYTPU_DENSE", "auto")
+_DENSE_MIN = int(os.environ.get("RAYTPU_DENSE_MIN", "96"))
+# (2*Npad,16) matmul + ~14 (Npad,128) f32 intermediates must fit VMEM
+_DENSE_MAX = int(os.environ.get("RAYTPU_DENSE_MAX", "4096"))
 _INF = np.float32(3.0e38)
 _SAFE_EPS = np.float32(1e-20)
 
@@ -114,7 +121,8 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                      scatter_mode: str = "v2",
                      static_leaf: int | None = None,
                      flat_leaves: bool = False,
-                     flat_unroll_n: int | None = None):
+                     flat_unroll_n: int | None = None,
+                     dense=None):
     """ONE bounce of the path-trace state machine over an (8, 128) tile.
 
     Returns ``body(state) -> state`` with state
@@ -197,6 +205,69 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
         if "nohit" in _ABLATE:
             hs = ((zero + 0.5) + jnp.where(dx > 0, 0.0, _INF),
                   *hs0[1:])
+        elif dense is not None:
+            # -- dense closest hit: instead of looping spheres with
+            # per-sphere predicated winner updates (~34 VPU ops each on
+            # scalar-broadcast operands), compute ALL candidates as
+            # (n_pad, W) planes per tile row — straight-line vector code
+            # with no traversal, no loop control and no per-sphere
+            # winner selects.  A sublane min/argmin picks the winner
+            # (first index on ties, like the loop's strict <) and ONE
+            # MXU matmul extracts its 9 attributes via a one-hot column
+            # (EXACT: a single 1.0 per column).  The quadratic is
+            # op-for-op golden.hit_world on the same fl(o - c) values:
+            # expanded forms (o.d - c.d / o.o - 2c.o + |c|^2) are NOT
+            # usable here — their absolute rounding error scales with
+            # |o||c| and turns grazing secondary rays into false self
+            # -hits (bounce origins sit ON a sphere) and perturbs
+            # r=1000-ground hit t's at 1e-3 relative, decohering paths.
+            cl_ref, at_ref, n_pad = dense
+            w = ox.shape[1]
+            c_x = cl_ref[:, 0:1]                    # (n_pad, 1)
+            c_y = cl_ref[:, 1:2]
+            c_z = cl_ref[:, 2:3]
+            r2 = cl_ref[:, 3:4]                     # r^2 (pads: -3e38)
+            at = at_ref[:, :]                       # (16, n_pad)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, w), 0)
+            tb_rows, attr_rows = [], []
+            for r in range(ox.shape[0]):
+                sl = slice(r, r + 1)
+                ocx = ox[sl] - c_x                  # (n_pad, W)
+                ocy = oy[sl] - c_y
+                ocz = oz[sl] - c_z
+                half_b = ocx * dx[sl] + ocy * dy[sl] + ocz * dz[sl]
+                ctm = (ocx * ocx + ocy * ocy + ocz * ocz) - r2
+                a_r = a[sl]
+                disc = half_b * half_b - a_r * ctm
+                has_root = disc >= 0
+                # padded rows carry r^2 = -3e38 -> disc < 0 (a > 0)
+                sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                inv_a_r = inv_a[sl]
+                root1 = (-half_b - sqrtd) * inv_a_r
+                root2 = (-half_b + sqrtd) * inv_a_r
+                near_ok = root1 >= t_min
+                root = jnp.where(near_ok, root1, root2)
+                okm = has_root & (root >= t_min)
+                t_all = jnp.where(okm, root, _INF)
+                tb_r = jnp.min(t_all, axis=0, keepdims=True)
+                idx_r = jnp.argmin(t_all, axis=0)
+                onehot = jnp.where(
+                    (iota == idx_r[None, :]) & (tb_r < _INF), 1.0, 0.0)
+                attrs = jnp.dot(at, onehot,
+                                preferred_element_type=jnp.float32)
+                tb_rows.append(tb_r)
+                attr_rows.append(attrs)
+
+            tb = jnp.concatenate(tb_rows, axis=0)
+            (h_cx, h_cy, h_cz, h_rad, h_mt,
+             h_ar, h_ag, h_ab, h_mp) = (
+                jnp.concatenate([ar[k:k + 1] for ar in attr_rows], axis=0)
+                for k in range(9))
+            # misses extract all-zero attributes; restore hs0's rad = 1
+            # guard (the normal's 1/rad below also re-guards rad == 0)
+            h_rad = jnp.where(tb < _INF, h_rad, 1.0)
+            hs = (tb, h_cx, h_cy, h_cz, h_rad,
+                  h_mt, h_ar, h_ag, h_ab, h_mp)
         elif nd_ref is None:
             hs = jax.lax.fori_loop(0, dyn_nsph, sphere_body, hs0)
         else:
@@ -467,7 +538,8 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
 def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                  carry_state: bool = False, block_w: int = _TILE_W,
                  static_leaf: int | None = None,
-                 flat_leaves: bool = False):
+                 flat_leaves: bool = False,
+                 dense_pad: int | None = None):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -479,6 +551,9 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
     block_h = (_TILE_H * _TILE_W) // block_w
 
     def kernel(cam_ref, sc_ref, *rest):
+        mx_ref = at_ref = None
+        if dense_pad:
+            mx_ref, at_ref, *rest = rest
         nd_ref = None
         if n_nodes:
             nd_ref, *rest = rest
@@ -547,9 +622,10 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                       else cam_ref[22].astype(jnp.int32)))
         unroll = (n_nodes if flat_leaves
                   and n_nodes <= _FLAT_UNROLL_MAX else None)
+        dense = ((mx_ref, at_ref, dense_pad) if dense_pad else None)
         bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes,
                                   t_min, cfg.scatter_mode, static_leaf,
-                                  flat_leaves, unroll)
+                                  flat_leaves, unroll, dense)
 
         def trace_one(ox, oy, oz, dx, dy, dz, sd):
             """Bounce loop with whole-tile early exit (golden.trace)."""
@@ -648,6 +724,46 @@ def _pack_scene(scene: Scene) -> jnp.ndarray:
     ]).astype(jnp.float32)
 
 
+def _use_dense(n: int, interpret: bool, has_bvh: bool = False) -> bool:
+    """Dense hit-stage policy (see make_bounce_body): auto engages on
+    compiled kernels at scale when NO BVH was provided — it replaces
+    the brute-force loop (~3x faster at 500 spheres: the winner selects
+    and loop control go away), but measured BELOW the flat-BVH loop
+    (16-20 vs 22 Mrays/s on config 4: (n_pad, W) planes spill to VMEM
+    while the loop's whole-tile vregs stay register-resident, and dense
+    tests every sphere while the BVH culls half).  Interpret-mode (CPU
+    test) kernels keep the loop so bit-equality-vs-golden tests stay
+    exact."""
+    if _DENSE_MODE == "0":
+        return False
+    if _DENSE_MODE == "1":
+        return n <= _DENSE_MAX
+    return ((not interpret) and (not has_bvh)
+            and _DENSE_MIN <= n <= _DENSE_MAX)
+
+
+def _pack_dense(scene: Scene):
+    """VMEM operands for the dense hit stage (see make_bounce_body).
+
+    Returns ``(cl, at, n_pad)``: ``cl`` (n_pad, 8) columns [cx, cy, cz,
+    r^2] — sphere axis on SUBLANES, so ``o - c`` / ``r^2`` broadcast
+    against (1, W) ray rows; ``at`` (16, n_pad) holds the 9 attribute
+    rows for the one-hot winner extraction.  Padded sphere rows carry
+    r^2 = -3e38 so their c-term is huge-positive and the discriminant
+    negative for any real ray (they can never win)."""
+    n = scene.count
+    n_pad = max(8, -(-n // 8) * 8)
+    c = scene.center.astype(jnp.float32)
+    r = scene.radius.astype(jnp.float32)
+    cl = jnp.full((n_pad, 8), 0.0, jnp.float32)
+    cl = cl.at[:n, 0:3].set(c)
+    cl = cl.at[:n, 3].set(r * r)
+    cl = cl.at[n:, 3].set(-3.0e38)                    # pads never hit
+    at = jnp.zeros((16, n_pad), jnp.float32)
+    at = at.at[0:9, :n].set(_pack_scene(scene))
+    return cl, at, n_pad
+
+
 def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
                             interpret: bool, nodes=None, perm=None,
                             row0=0, rows=None, vma=None, block_w=_TILE_W,
@@ -677,7 +793,16 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
                                    vma=frozenset(vma))
     plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
-    if nodes is None:
+    if _use_dense(n, interpret, has_bvh=nodes is not None):
+        # dense hit stage: every sphere tested as (n_pad, W) planes; a
+        # provided BVH is ignored (only reachable with RAYTPU_DENSE=1)
+        mx, at, n_pad = _pack_dense(scene)
+        kernel = _make_kernel(cfg, n, block_w=block_w, dense_pad=n_pad)
+        operands = (_pack_camera(cam, cfg, n, 0, row0),
+                    _pack_scene(scene), mx, at)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        in_specs = [smem, smem, vmem, vmem]
+    elif nodes is None:
         kernel = _make_kernel(cfg, n, block_w=block_w)
         operands = (_pack_camera(cam, cfg, n, 0, row0), _pack_scene(scene))
         in_specs = [smem, smem]

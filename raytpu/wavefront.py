@@ -74,11 +74,15 @@ _ROWS_DEFAULT = 32
 def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
                          scatter_mode: str = "v2",
                          static_leaf: int | None = None,
-                         flat_leaves: bool = False):
+                         flat_leaves: bool = False,
+                         dense_pad: int | None = None):
     """Pallas kernel: run up to ``n_bounces`` bounces over one tile of
     consecutive ray slots, then emit the next sort key."""
 
     def kernel(scal_ref, sc_ref, *rest):
+        mx_ref = at_ref = None
+        if dense_pad:
+            mx_ref, at_ref, *rest = rest
         nd_ref = None
         if n_nodes:
             nd_ref, *rest = rest
@@ -107,9 +111,11 @@ def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
             from raytpu.kernels.megakernel import _FLAT_UNROLL_MAX
             unroll = (n_nodes if flat_leaves
                       and n_nodes <= _FLAT_UNROLL_MAX else None)
+            dense = ((mx_ref, at_ref, dense_pad) if dense_pad else None)
             bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph,
                                       dyn_nodes, t_min, scatter_mode,
-                                      static_leaf, flat_leaves, unroll)
+                                      static_leaf, flat_leaves, unroll,
+                                      dense)
 
             def cond(st):
                 return (st[0] < dyn_bounces) & (jnp.max(st[13]) > 0)
@@ -221,7 +227,19 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
 
     n = scene.count
     use_flat = False
-    if nodes is not None:
+    dense_ops = None
+    n_pad = None
+    from raytpu.kernels.megakernel import _use_dense
+    if _use_dense(n, interpret, has_bvh=nodes is not None):
+        # dense-MXU hit stage (megakernel._pack_dense): the BVH (if
+        # any) is ignored, scene stays in original order
+        from raytpu.kernels.megakernel import _pack_dense
+        packed = _pack_scene(scene)
+        mx, at, n_pad = _pack_dense(scene)
+        dense_ops = (mx, at)
+        nodes_t = None
+        m = 0
+    elif nodes is not None:
         from raytpu.bvh import permute_scene
         from raytpu.kernels.megakernel import _FLAT_MAX_LEAVES
         packed = _pack_scene(permute_scene(scene, perm))
@@ -242,7 +260,7 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
     lo, scale = _key_bounds(scene)
 
     kernel = _make_segment_kernel(n, m, t_min, trows, cfg.scatter_mode,
-                                  leaf_size, use_flat)
+                                  leaf_size, use_flat, n_pad)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = pl.BlockSpec((trows, _TILE_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -254,6 +272,9 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
              scale[0], scale[1], scale[2]], jnp.float32)
         operands = [scal, packed]
         in_specs = [smem, smem]
+        if dense_ops is not None:
+            operands += list(dense_ops)
+            in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         if m:
             operands.append(nodes_t)
             in_specs.append(smem)

@@ -1,0 +1,77 @@
+"""Dense hit-stage (megakernel.make_bounce_body `dense` branch) vs the
+golden oracle.
+
+The dense stage computes every sphere's quadratic as (n_pad, W) planes
+and extracts the winner via sublane argmin + a one-hot MXU matmul.  It
+is op-for-op golden.hit_world on identical fl(o - c) values, so the
+megakernel is BIT-equal to golden in interpret mode; the wavefront
+wrapper keeps its usual <= 1 ulp post-gamma bound (FMA-contraction
+class, see tests/test_wavefront.py).
+"""
+
+import numpy as np
+import pytest
+
+import raytpu
+from raytpu import golden
+from raytpu.config import RenderConfig
+from raytpu.kernels import megakernel
+from raytpu.wavefront import render_wavefront
+
+from test_wavefront import assert_ulp_equal
+
+
+@pytest.fixture
+def force_dense(monkeypatch):
+    monkeypatch.setattr(megakernel, "_DENSE_MODE", "1")
+
+
+def _cam(aspect):
+    return raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
+                              vfov=20.0, aspect=aspect)
+
+
+def test_dense_megakernel_bit_equal_golden(force_dense):
+    cfg = RenderConfig(width=96, height=48, spp=2, depth=5)
+    scene = raytpu.final_world()          # 500 spheres (n_pad = 504)
+    cam = _cam(cfg.aspect)
+    ref = np.asarray(golden.render_golden(scene, cam, cfg))
+    img = np.asarray(megakernel.render_pallas(scene, cam, cfg,
+                                              interpret=True))
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_dense_wavefront_matches_golden(force_dense):
+    cfg = RenderConfig(width=96, height=48, spp=2, depth=5)
+    scene = raytpu.final_world()
+    cam = _cam(cfg.aspect)
+    ref = np.asarray(golden.render_golden(scene, cam, cfg))
+    img = np.asarray(render_wavefront(scene, cam, cfg, interpret=True))
+    assert_ulp_equal(img, ref)
+
+
+def test_dense_small_scene_padding(force_dense):
+    # n=4 spheres -> n_pad=8: half the rows are -3e38 pads that must
+    # never win
+    cfg = RenderConfig(width=64, height=40, spp=2, depth=6)
+    scene = raytpu.test_world()
+    cam = _cam(cfg.aspect)
+    ref = np.asarray(golden.render_golden(scene, cam, cfg))
+    img = np.asarray(megakernel.render_pallas(scene, cam, cfg,
+                                              interpret=True))
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_dense_ignores_bvh(force_dense):
+    # a provided BVH is bypassed (dense tests every sphere); image
+    # must be identical either way
+    from raytpu.bvh import build_bvh
+    cfg = RenderConfig(width=64, height=32, spp=2, depth=4)
+    scene = raytpu.random_world(half_extent=3)
+    cam = _cam(cfg.aspect)
+    b = build_bvh(scene)
+    with_bvh = np.asarray(megakernel.render_pallas(
+        scene, cam, cfg, bvh=b, interpret=True))
+    without = np.asarray(megakernel.render_pallas(
+        scene, cam, cfg, interpret=True))
+    np.testing.assert_array_equal(with_bvh, without)
