@@ -75,14 +75,17 @@ def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
                          scatter_mode: str = "v2",
                          static_leaf: int | None = None,
                          flat_leaves: bool = False,
-                         dense_pad: int | None = None):
+                         dense_pad: int | None = None,
+                         flat_at_pad: int | None = None):
     """Pallas kernel: run up to ``n_bounces`` bounces over one tile of
     consecutive ray slots, then emit the next sort key."""
 
     def kernel(scal_ref, sc_ref, *rest):
-        mx_ref = at_ref = None
+        mx_ref = at_ref = fat_ref = None
         if dense_pad:
             mx_ref, at_ref, *rest = rest
+        if flat_at_pad:
+            fat_ref, *rest = rest
         nd_ref = None
         if n_nodes:
             nd_ref, *rest = rest
@@ -112,10 +115,11 @@ def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
             unroll = (n_nodes if flat_leaves
                       and n_nodes <= _FLAT_UNROLL_MAX else None)
             dense = ((mx_ref, at_ref, dense_pad) if dense_pad else None)
+            flat_at = ((fat_ref, flat_at_pad) if flat_at_pad else None)
             bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph,
                                       dyn_nodes, t_min, scatter_mode,
                                       static_leaf, flat_leaves, unroll,
-                                      dense)
+                                      dense, flat_at)
 
             def cond(st):
                 return (st[0] < dyn_bounces) & (jnp.max(st[13]) > 0)
@@ -239,9 +243,12 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         dense_ops = (mx, at)
         nodes_t = None
         m = 0
-    elif nodes is not None:
+    fat_ops = None
+    fat_pad = None
+    if dense_ops is None and nodes is not None:
         from raytpu.bvh import permute_scene
-        from raytpu.kernels.megakernel import _FLAT_MAX_LEAVES
+        from raytpu.kernels.megakernel import (_FLAT_MAX_LEAVES, _TIDX,
+                                               _pack_flat_at)
         packed = _pack_scene(permute_scene(scene, perm))
         use_flat = (flat is not None
                     and flat.shape[0] // 8 <= _FLAT_MAX_LEAVES)
@@ -249,18 +256,21 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
             # flat leaf-list traversal (bvh.flat): leaf rows only
             nodes_t = flat.T.astype(jnp.float32)
             m = flat.shape[0] // 8
+            if _TIDX:
+                fat, fat_pad = _pack_flat_at(packed)
+                fat_ops = (fat,)
         else:
             # padded BVHs store 8 octant-ordered copies: walk covers one
             nodes_t = nodes.T.astype(jnp.float32)
             m = nodes.shape[0] // 8 if leaf_size else nodes.shape[0]
-    else:
+    elif dense_ops is None:
         packed = _pack_scene(scene)
         nodes_t = None
         m = 0
     lo, scale = _key_bounds(scene)
 
     kernel = _make_segment_kernel(n, m, t_min, trows, cfg.scatter_mode,
-                                  leaf_size, use_flat, n_pad)
+                                  leaf_size, use_flat, n_pad, fat_pad)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = pl.BlockSpec((trows, _TILE_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -275,6 +285,9 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         if dense_ops is not None:
             operands += list(dense_ops)
             in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        if fat_ops is not None:
+            operands += list(fat_ops)
+            in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
         if m:
             operands.append(nodes_t)
             in_specs.append(smem)
