@@ -133,10 +133,13 @@ def bench_config4(extra):
     from raytpu.bvh import build_bvh
     from raytpu.wavefront import render_wavefront
     cfg = RenderConfig(width=800, height=400, spp=20, depth=12)
-    # measured-best large-scene recipe (scripts/probe_split.py sweep):
-    # flat leaf-list traversal (leaf 32), per-sample RNG streams with 2
-    # spp folded per wave, NO sorting (flat traversal is coherence
-    # -independent, so the sort is pure overhead)
+    # measured-best large-scene recipe (round-2 TPU sweeps): flat leaf
+    # -list traversal (leaf 32) with (t, idx) winner tracking, per
+    # -sample RNG streams with 2 spp folded per wave, and ONE sort
+    # boundary after bounce 3 — compaction packs the ~16% still-alive
+    # rays into dense tiles for the remaining 9 bounces (the 16-operand
+    # lax.sort costs ~37 ms, so a single well-placed boundary beats
+    # both no sorting and every-bounce sorting)
     cfg_best = RenderConfig(width=800, height=400, spp=20, depth=12,
                             rng_mode="parallel")
     scene = raytpu.final_world()
@@ -148,8 +151,7 @@ def bench_config4(extra):
         ("megakernel", lambda s, c: jnp.sum(
             render(s, c, cfg, backend="pallas", bvh=bvh))),
         ("wavefront", lambda s, c: jnp.sum(
-            render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2,
-                             segments=(cfg_best.depth,)))),
+            render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2))),
     ):
         f = _batch_frames(frame, n_frames=2)
         t = _time_calls(f, scene, cfg.aspect) / 2

@@ -50,7 +50,8 @@ from raytpu.config import RenderConfig
 from raytpu.scene import Scene
 from raytpu.kernels.megakernel import (
     _TILE_H, _TILE_W, _INF, _dot3, _normalize3, _reflect, _refract,
-    _schlick, _sky, _pack_camera, _pack_scene,
+    _schlick, _sky, _pack_camera, _pack_scene, _pack_flat_at,
+    _onehot_attrs, _FLAT_MAX_LEAVES, _TIDX,
 )
 
 
@@ -190,7 +191,9 @@ _IDX_VMEM_BUDGET = 6 * 2**20
 def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                       n_nodes: int = 0, store_idx: bool = True,
                       vis_w: float = 0.0,
-                      static_leaf: int | None = None):
+                      static_leaf: int | None = None,
+                      flat_leaves: bool = False,
+                      fat_pad: int | None = None):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -202,8 +205,11 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
     def kernel(cam_ref, sc_ref, *rest):
         idx_ref = None
+        fat_ref = None
         if n_nodes:
             nd_ref, *rest = rest
+        if fat_pad:
+            fat_ref, *rest = rest
         if store_idx:
             (ctr_ref, ctg_ref, ctb_ref,
              r_ref, g_ref, b_ref, gsc_ref, gcam_ref,
@@ -337,6 +343,71 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             else:
                 nbase = jnp.int32(0)
 
+            if flat_leaves:
+                # flat leaf-list (t, idx) sweep + one-hot extraction —
+                # see megakernel.make_bounce_body: same leaves, same
+                # front-to-back tfar <= t_best culling, no interior
+                # node visits, 2 predicated updates per sphere.
+                assert static_leaf and fat_pad
+
+                def body_ti(j, ti):
+                    tb, bi = ti
+                    s_cx = sc_ref[0, j]
+                    s_cy = sc_ref[1, j]
+                    s_cz = sc_ref[2, j]
+                    s_rad = sc_ref[3, j]
+                    ocx = ox - s_cx
+                    ocy = oy - s_cy
+                    ocz = oz - s_cz
+                    half_b = ocx * dx + ocy * dy + ocz * dz
+                    c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                         - s_rad * s_rad)
+                    disc = half_b * half_b - a * c
+                    has_root = disc >= 0
+                    sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+                    root1 = (-half_b - sqrtd) * inv_a
+                    root2 = (-half_b + sqrtd) * inv_a
+                    near_ok = root1 >= t_min
+                    root = jnp.where(near_ok, root1, root2)
+                    ok = has_root & (root >= t_min)
+                    t_j = jnp.where(ok, root, _INF)
+                    win = t_j < tb
+                    return (jnp.where(win, t_j, tb),
+                            jnp.where(win, j.astype(jnp.float32), bi))
+
+                def leaf_iter_ti(k, ti):
+                    tb = ti[0]
+                    node = nbase + k
+                    t1 = (nd_ref[0, node] - ox) * inv_dx
+                    t2 = (nd_ref[3, node] - ox) * inv_dx
+                    t3 = (nd_ref[1, node] - oy) * inv_dy
+                    t4 = (nd_ref[4, node] - oy) * inv_dy
+                    t5 = (nd_ref[2, node] - oz) * inv_dz
+                    t6 = (nd_ref[5, node] - oz) * inv_dz
+                    tnear = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t1, t2),
+                                    jnp.minimum(t3, t4)),
+                        jnp.maximum(jnp.minimum(t5, t6), t_min))
+                    tfar = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t1, t2),
+                                    jnp.maximum(t3, t4)),
+                        jnp.minimum(jnp.maximum(t5, t6), tb))
+                    boxhit = ~(tnear > tfar) & alive
+                    anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
+                    start = nd_ref[6, node].astype(jnp.int32)
+
+                    def do_leaf(ti):
+                        for kk in range(static_leaf):
+                            ti = body_ti(start + kk, ti)
+                        return ti
+
+                    return jax.lax.cond(anyhit, do_leaf, lambda t: t, ti)
+
+                tb, idxf = jax.lax.fori_loop(
+                    0, dyn_nodes, leaf_iter_ti, (zero + _INF, zero - 1.0))
+                attrs = _onehot_attrs(fat_ref[:, :], fat_pad, idxf)
+                return idxf, tb < _INF, attrs
+
             def t_cond(ts):
                 return ts[0] < dyn_nodes
 
@@ -387,26 +458,11 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             return out[2], out[1] < _INF, out[3:]
 
         def gather_attrs(idx_f):
-            """Attrs for every lane by index — distinct-winner extraction
-            (iterations = #distinct indices in the tile, usually far
-            fewer than N; replaces an O(N) predicated sweep that made
-            large-scene PASS 2 traversal-bound)."""
-            def cond(st):
-                return jnp.max(st[0]) >= 0
-
-            def body(st):
-                rem = st[0]
-                acc = st[1:]
-                cur = jnp.max(rem)
-                ci = cur.astype(jnp.int32)
-                m = rem == cur
-                acc = tuple(jnp.where(m, sc_ref[k, ci], a)
-                            for k, a in enumerate(acc))
-                return (jnp.where(m, -1.0, rem), *acc)
-
-            init = (idx_f,) + tuple(zero for _ in range(9))
-            out = jax.lax.while_loop(cond, body, init)
-            return out[1:]
+            """Attrs for every lane by index — exact one-hot MXU
+            extraction (megakernel._onehot_attrs; replaces a serial
+            distinct-winner loop whose trip count, ~#distinct winners
+            per tile, dominated large-scene PASS 2)."""
+            return _onehot_attrs(fat_ref[:, :], fat_pad, idx_f)
 
         def fwd_sample(sd, store, s):
             """One sample's forward; optionally stores residuals.
@@ -832,17 +888,28 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
 
     out_plane = _shp((hp, wp))
 
-    m = 0 if bvh is None else bvh.n_trav
+    use_flat = (bvh is not None and bvh.flat is not None
+                and bvh.n_leaves <= _FLAT_MAX_LEAVES and _TIDX)
+    m = 0 if bvh is None else (bvh.n_leaves if use_flat else bvh.n_trav)
     tile_bytes = _TILE_H * _TILE_W * 4
     store_idx = cfg.spp * cfg.depth * tile_bytes <= _IDX_VMEM_BUDGET
+    packed = _pack_scene(scene_k)
+    # attribute matrix for the one-hot winner extraction: used by the
+    # flat (t, idx) sweep AND by PASS 2's stored-index replay gather on
+    # every path (replaces the serial distinct-winner loop)
+    fat, fat_pad = _pack_flat_at(packed)
     kernel = _make_grad_kernel(
         cfg, n, n_nodes=m, store_idx=store_idx, vis_w=float(vis_w),
-        static_leaf=None if bvh is None else bvh.leaf_size)
-    operands = [_pack_camera(cam, cfg, n, m, row0), _pack_scene(scene_k)]
+        static_leaf=None if bvh is None else bvh.leaf_size,
+        flat_leaves=use_flat, fat_pad=fat_pad)
+    operands = [_pack_camera(cam, cfg, n, m, row0), packed]
     in_specs = [smem, smem]
     if bvh is not None:
-        operands.append(bvh.nodes.T.astype(jnp.float32))
+        nd = bvh.flat if use_flat else bvh.nodes
+        operands.append(nd.T.astype(jnp.float32))
         in_specs.append(smem)
+    operands.append(fat)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     operands += [ct_pad[:, :, 0], ct_pad[:, :, 1], ct_pad[:, :, 2]]
     in_specs += [plane, plane, plane]
     scratch = [

@@ -123,6 +123,50 @@ def _to_gamma(x, gamma):
     return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
 
 
+def _split_bf16x3(mat):
+    """f32 (rows, cols) -> bf16-EXACT splits stacked (3*rows, cols):
+    mat == hi + mid + lo exactly, each term carrying <= 8 significant
+    bits so it survives the TPU matmul's default bf16 input cast
+    losslessly — ONE single-pass matmul per split is then exact, where
+    the default cast on the raw values silently quantizes them (caught
+    as a 1.8 rel-err fuzz gradient on hardware) and Precision.HIGHEST
+    costs 6 passes.  The split MUST be bit-masking, not
+    f32->bf16->f32 casts: under --xla_allow_excess_precision the
+    algebraic simplifier elides the down-up cast pair, collapsing the
+    splits back into (mat, 0, 0) and resurrecting the bf16 bug."""
+    def trunc16(x):
+        u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            u & np.uint32(0xFFFF0000), jnp.float32)
+
+    hi = trunc16(mat)          # top 16 word bits: 8 significant bits
+    rem = mat - hi             # exact: <= 16 significant bits
+    mid = trunc16(rem)
+    lo = rem - mid             # exact: <= 8 significant bits
+    return jnp.concatenate([hi, mid, lo], axis=0)
+
+
+def _onehot_attrs(fat, at_pad, idxf):
+    """Winner-attribute extraction: ``idxf`` (rows, W) f32 winner
+    indices -> 9 (rows, W) attribute planes, one MXU matmul per row
+    against ``fat`` (48, at_pad), the _split_bf16x3 of the (16, at_pad)
+    attribute matrix.  EXACT: the one-hot column has a single 1.0 (or
+    none for idx = -1 misses -> all-zero attributes), each split rides
+    the bf16 input cast losslessly, and hi + mid + lo reconstructs the
+    f32 value with two exact adds."""
+    w = idxf.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (at_pad, w), 0)
+    attr_rows = []
+    for r in range(idxf.shape[0]):
+        idxi = idxf[r:r + 1].astype(jnp.int32)
+        onehot = jnp.where(iota == idxi, 1.0, 0.0)
+        out = jnp.dot(fat, onehot, preferred_element_type=jnp.float32)
+        attr_rows.append(out[0:16] + out[16:32] + out[32:48])
+    return tuple(
+        jnp.concatenate([ar[k:k + 1] for ar in attr_rows], axis=0)
+        for k in range(9))
+
+
 def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                      scatter_mode: str = "v2",
                      static_leaf: int | None = None,
@@ -233,7 +277,7 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
             c_y = cl_ref[:, 1:2]
             c_z = cl_ref[:, 2:3]
             r2 = cl_ref[:, 3:4]                     # r^2 (pads: -3e38)
-            at = at_ref[:, :]                       # (16, n_pad)
+            at = at_ref[:, :]                       # (48, n_pad) splits
             iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, w), 0)
             tb_rows, attr_rows = [], []
             for r in range(ox.shape[0]):
@@ -259,8 +303,10 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                 idx_r = jnp.argmin(t_all, axis=0)
                 onehot = jnp.where(
                     (iota == idx_r[None, :]) & (tb_r < _INF), 1.0, 0.0)
-                attrs = jnp.dot(at, onehot,
-                                preferred_element_type=jnp.float32)
+                # exact bf16x3-split extraction (see _onehot_attrs)
+                out = jnp.dot(at, onehot,
+                              preferred_element_type=jnp.float32)
+                attrs = out[0:16] + out[16:32] + out[32:48]
                 tb_rows.append(tb_r)
                 attr_rows.append(attrs)
 
@@ -373,21 +419,9 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                 tb, idxf = jax.lax.fori_loop(
                     0, dyn_nodes, leaf_iter_ti, (zero + _INF, zero - 1.0))
 
-                w = ox.shape[1]
-                fat = fat_ref[:, :]                 # (16, at_pad)
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (at_pad, w), 0)
-                attr_rows = []
-                for r in range(ox.shape[0]):
-                    idxi = idxf[r:r + 1].astype(jnp.int32)
-                    onehot = jnp.where(iota == idxi, 1.0, 0.0)
-                    attr_rows.append(jnp.dot(
-                        fat, onehot, preferred_element_type=jnp.float32))
                 (h_cx, h_cy, h_cz, h_rad, h_mt,
-                 h_ar, h_ag, h_ab, h_mp) = (
-                    jnp.concatenate([ar[k:k + 1] for ar in attr_rows],
-                                    axis=0)
-                    for k in range(9))
+                 h_ar, h_ag, h_ab, h_mp) = _onehot_attrs(
+                    fat_ref[:, :], at_pad, idxf)
                 hs = (tb, h_cx, h_cy, h_cz, h_rad,
                       h_mt, h_ar, h_ag, h_ab, h_mp)
             elif flat_leaves:
@@ -822,14 +856,16 @@ def _pack_scene(scene: Scene) -> jnp.ndarray:
 
 
 def _pack_flat_at(packed):
-    """(16, n_pad) attribute matrix for the flat (t, idx) sweep's one
-    -hot winner extraction: the permuted scene's 9 rows with NaN leaf
-    dummies zeroed (0 * NaN would poison the matmul; a dummy can never
-    win the sweep so its column is only ever multiplied by 0)."""
+    """(48, n_pad) attribute matrix (_split_bf16x3 of 16 rows) for the
+    flat (t, idx) sweep's one-hot winner extraction: the permuted
+    scene's 9 rows with NaN leaf dummies zeroed (0 * NaN would poison
+    the matmul; a dummy can never win the sweep so its column is only
+    ever multiplied by 0)."""
     npm = packed.shape[1]
     n_pad = max(8, -(-npm // 8) * 8)
     at = jnp.zeros((16, n_pad), jnp.float32)
-    return at.at[0:9, :npm].set(jnp.nan_to_num(packed)), n_pad
+    at = at.at[0:9, :npm].set(jnp.nan_to_num(packed))
+    return _split_bf16x3(at), n_pad
 
 
 def _use_dense(n: int, interpret: bool, has_bvh: bool = False) -> bool:
@@ -855,8 +891,9 @@ def _pack_dense(scene: Scene):
 
     Returns ``(cl, at, n_pad)``: ``cl`` (n_pad, 8) columns [cx, cy, cz,
     r^2] — sphere axis on SUBLANES, so ``o - c`` / ``r^2`` broadcast
-    against (1, W) ray rows; ``at`` (16, n_pad) holds the 9 attribute
-    rows for the one-hot winner extraction.  Padded sphere rows carry
+    against (1, W) ray rows; ``at`` (48, n_pad) holds the 9 attribute
+    rows as bf16x3 splits for the exact one-hot winner extraction
+    (_split_bf16x3).  Padded sphere rows carry
     r^2 = -3e38 so their c-term is huge-positive and the discriminant
     negative for any real ray (they can never win)."""
     n = scene.count
@@ -869,7 +906,7 @@ def _pack_dense(scene: Scene):
     cl = cl.at[n:, 3].set(-3.0e38)                    # pads never hit
     at = jnp.zeros((16, n_pad), jnp.float32)
     at = at.at[0:9, :n].set(_pack_scene(scene))
-    return cl, at, n_pad
+    return cl, _split_bf16x3(at), n_pad
 
 
 def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,

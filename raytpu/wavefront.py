@@ -371,10 +371,18 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
 
 
 def default_segments(depth: int) -> tuple[int, ...]:
-    """Bounce-segment split for a given depth: re-sort a few times early
-    (live rays still plentiful), then let compaction carry the tail."""
-    if depth > 8:
-        return (1, 2, 4, depth - 7)
+    """Bounce-segment split: one sort boundary after bounce 3 and (deep
+    configs) another after bounce 12.  Each boundary's 16-operand
+    lax.sort costs ~37 ms at R=640k on a v5e, and the payoff is the
+    dead-ray compaction (live rays pack into dense tiles so the whole
+    -tile early exit actually fires), so sparse geometric boundaries
+    beat both extremes — round-2 sweeps: config 4 (depth 12) nosort
+    24.0 / every-bounce 9.3 / (3, 9) 29.2 Mrays/s; REFERENCE_V2
+    (depth 50) nosort 12.3 / (3, 9, 38) 29.5 Mrays/s."""
+    if depth > 12:
+        return (3, 9, depth - 12)
+    if depth > 3:
+        return (3, depth - 3)
     if depth > 1:
         return (1, depth - 1)
     return (depth,)
