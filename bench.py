@@ -143,13 +143,12 @@ def bench_config4(extra):
     cfg_best = RenderConfig(width=800, height=400, spp=20, depth=12,
                             rng_mode="parallel")
     scene = raytpu.final_world()
-    bvh = build_bvh(scene, leaf_size=16)
     bvh32 = build_bvh(scene, leaf_size=32)
     rays = cfg.width * cfg.height * cfg.spp
 
     for name, frame in (
         ("megakernel", lambda s, c: jnp.sum(
-            render(s, c, cfg, backend="pallas", bvh=bvh))),
+            render(s, c, cfg, backend="pallas", bvh=bvh32))),
         ("wavefront", lambda s, c: jnp.sum(
             render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2))),
     ):
@@ -162,7 +161,7 @@ def bench_config4(extra):
 
     def fwdbwd_frame(s, c):
         def loss_fn(s, c):
-            img = render(s, c, cfg, backend="pallas", bvh=bvh)
+            img = render(s, c, cfg, backend="pallas", bvh=bvh32)
             return jnp.mean((img - target) ** 2)
         g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
         return (jnp.sum(g[0].center) + jnp.sum(g[0].albedo)

@@ -70,6 +70,13 @@ _FLAT_UNROLL_MAX = int(os.environ.get("RAYTPU_FLAT_UNROLL_MAX", "0"))
 # per-row one-hot MXU attribute extraction afterwards.  Config-4
 # measured: wavefront 22.2 -> 24.0, megakernel 15.9 -> 20.2 Mrays/s.
 _TIDX = os.environ.get("RAYTPU_TIDX", "1") != "0"
+# persistent sample refill engages at this many spheres (the two
+# sample-loop forms are BIT-identical; refill's respawn logic costs
+# ~70 extra vops/iteration, which only pays once the hit sweep
+# dominates — config 2 (4 spheres): sequential 243 vs refill 216
+# Mrays/s; config 4 (500): refill 2x).  RAYTPU_REFILL_MIN=0 forces
+# refill everywhere.
+_REFILL_MIN = int(os.environ.get("RAYTPU_REFILL_MIN", "48"))
 # dense-MXU hit stage: "auto" engages it on compiled kernels when the
 # scene has at least RAYTPU_DENSE_MIN spheres; "1" forces it on
 # (including interpret mode), "0" off.  See make_bounce_body.
@@ -677,6 +684,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
     inv_spp = np.float32(1.0 / spp)
     gamma = cfg.gamma
     block_h = (_TILE_H * _TILE_W) // block_w
+    refill = (not _NO_EARLY_EXIT) and n_spheres >= _REFILL_MIN
 
     def kernel(cam_ref, sc_ref, *rest):
         mx_ref = at_ref = fat_ref = None
@@ -758,39 +766,13 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                                   t_min, cfg.scatter_mode, static_leaf,
                                   flat_leaves, unroll, dense, flat_at)
 
-        def trace_one(ox, oy, oz, dx, dy, dz, sd):
-            """Bounce loop with whole-tile early exit (golden.trace)."""
-            zero = jnp.zeros(shape, jnp.float32)
-            one = zero + 1.0
-
-            def cond(st):
-                d = st[0]
-                alive_f = st[13]
-                # alive mask carried as f32 (Mosaic cannot carry i1
-                # vectors through scf.while); > 0 means alive
-                return (d < dyn_depth) & (jnp.max(alive_f) > 0)
-
-            st = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
-                  one, one, one, zero, zero, zero, one, sd)
-            if _NO_EARLY_EXIT:
-                st = jax.lax.fori_loop(0, dyn_depth,
-                                       lambda i, st: bounce(st), st)
-            else:
-                st = jax.lax.while_loop(cond, bounce, st)
-            return st[10], st[11], st[12], st[14]
-
-        def sample_body(s, carry):
-            acc_r, acc_g, acc_b, sd = carry
-            if parallel:
-                sd_base = sd
-                # per-sample stream; dyn_s0 = progressive batch offset
-                sd = rng.fold_in(sd, s.astype(jnp.uint32) + dyn_s0)
+        def gen_ray(sd):
+            """Jitter + raygen -> ray + advanced seed (golden:
+            camera.get_ray; v1 defocus Shader_RT.fx:288)."""
             (j1a, _), sd = rng.hash2(sd)
             (_, j2b), sd = rng.hash2(sd)
             u = (fx + j1a * 1.1) * inv_w
             v = (fy + j2b * 1.1) * inv_h
-
-            # get_ray (golden: camera.get_ray; v1 defocus Shader_RT.fx:288)
             (ldx, ldy), sd_lens = rng.random_in_unit_disk(sd)
             sd = jnp.where(defocus, sd_lens, sd)
             rdx_l = lens_r * ldx
@@ -804,19 +786,124 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
             dx = c_lx + u * c_hx + v * c_vx - ox
             dy = c_ly + u * c_hy + v * c_vy - oy
             dz = c_lz + u * c_hz + v * c_vz - oz
-
-            r, g, b, sd = trace_one(ox, oy, oz, dx, dy, dz, sd)
-            if parallel:
-                sd = sd_base  # carry the base; next sample re-folds
-            return acc_r + r, acc_g + g, acc_b + b, sd
+            return ox, oy, oz, dx, dy, dz, sd
 
         zero = jnp.zeros(shape, jnp.float32)
+        one = zero + 1.0
         if carry_state:
-            init = (accr_in[:, :], accg_in[:, :], accb_in[:, :], seed)
+            acc0 = (accr_in[:, :], accg_in[:, :], accb_in[:, :])
         else:
-            init = (zero, zero, zero, seed)
-        acc_r, acc_g, acc_b, sd_end = jax.lax.fori_loop(
-            0, dyn_spp, sample_body, init)
+            acc0 = (zero, zero, zero)
+
+        if not refill:
+            # sequential samples: per-sample bounce loop with whole
+            # -tile early exit (golden.trace); _NO_EARLY_EXIT ablation
+            # runs the fixed-depth fori instead.  BIT-identical to the
+            # refill loop below — kept because its per-iteration cost
+            # is lower (no respawn logic), which wins on small scenes
+            # where the hit sweep is cheap and occupancy waste small.
+            def sample_body(s, carry):
+                acc_r, acc_g, acc_b, sd = carry
+                if parallel:
+                    sd_base = sd
+                    sd = rng.fold_in(sd, s.astype(jnp.uint32) + dyn_s0)
+                ox, oy, oz, dx, dy, dz, sd = gen_ray(sd)
+                st = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                      one, one, one, zero, zero, zero, one, sd)
+                if _NO_EARLY_EXIT:
+                    st = jax.lax.fori_loop(0, dyn_depth,
+                                           lambda i, st: bounce(st), st)
+                else:
+                    def cond(st):
+                        return ((st[0] < dyn_depth)
+                                & (jnp.max(st[13]) > 0))
+
+                    st = jax.lax.while_loop(cond, bounce, st)
+                r, g, b, sd = st[10], st[11], st[12], st[14]
+                if parallel:
+                    sd = sd_base
+                return acc_r + r, acc_g + g, acc_b + b, sd
+
+            acc_r, acc_g, acc_b, sd_end = jax.lax.fori_loop(
+                0, dyn_spp, sample_body, (*acc0, seed))
+        else:
+            # -- persistent sample refill: the moment a lane's sample
+            # terminates (miss/absorb/depth cap) it spawns its pixel's
+            # NEXT sample in-register, so tile occupancy stays ~100%
+            # for the whole frame instead of decaying per sample round
+            # (measured: ray-alive falls to 3% by bounce 4 while 90% of
+            # tiles keep a live lane — the per-sample whole-tile early
+            # exit recovers almost nothing).  Per-lane accumulation
+            # order stays sample order and seeds derive exactly as the
+            # sequential loop's, so results are BIT-identical; the tile
+            # exits when every lane has exhausted its spp budget.
+            dyn_depth_f = dyn_depth.astype(jnp.float32) \
+                if not isinstance(dyn_depth, int) else jnp.float32(dyn_depth)
+            dyn_spp_f = dyn_spp.astype(jnp.float32) \
+                if not isinstance(dyn_spp, int) else jnp.float32(dyn_spp)
+            seed0 = seed
+            if parallel:
+                sd_init = rng.fold_in(seed0, dyn_s0)
+            else:
+                sd_init = seed0
+            iox, ioy, ioz, idx_, idy, idz, sd_i = gen_ray(sd_init)
+
+            def cond(st):
+                return jnp.max(st[12]) > 0
+
+            def body(st):
+                (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+                 alive_f, sd, s_pl, d_pl, ar, ag, ab) = st
+                was = alive_f > 0
+                bst = bounce((jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                              cr, cg, cb, rr, rg, rb, alive_f, sd))
+                (_, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+                 alive_f, sd) = bst
+                d_pl = jnp.where(was, d_pl + 1.0, d_pl)
+                fin = was & ((alive_f <= 0) | (d_pl >= dyn_depth_f))
+                s_next = s_pl + 1.0
+                more = fin & (s_next < dyn_spp_f)
+                ar = jnp.where(fin, ar + rr, ar)
+                ag = jnp.where(fin, ag + rg, ag)
+                ab = jnp.where(fin, ab + rb, ab)
+                if parallel:
+                    # per-sample stream: re-fold from the pixel seed
+                    sd_r = rng.fold_in(
+                        seed0, s_next.astype(jnp.int32)
+                        .astype(jnp.uint32) + dyn_s0)
+                else:
+                    # sequential chain continues from the lane's seed
+                    sd_r = sd
+                nox, noy, noz, ndx, ndy, ndz, sd_n = gen_ray(sd_r)
+                ox = jnp.where(more, nox, ox)
+                oy = jnp.where(more, noy, oy)
+                oz = jnp.where(more, noz, oz)
+                dx = jnp.where(more, ndx, dx)
+                dy = jnp.where(more, ndy, dy)
+                dz = jnp.where(more, ndz, dz)
+                cr = jnp.where(more, 1.0, cr)
+                cg = jnp.where(more, 1.0, cg)
+                cb = jnp.where(more, 1.0, cb)
+                rr = jnp.where(fin, 0.0, rr)
+                rg = jnp.where(fin, 0.0, rg)
+                rb = jnp.where(fin, 0.0, rb)
+                sd = jnp.where(more, sd_n, sd)
+                s_pl = jnp.where(fin, s_next, s_pl)
+                d_pl = jnp.where(more, 0.0, d_pl)
+                alive_f = jnp.where(
+                    fin, jnp.where(more, 1.0, 0.0), alive_f)
+                return (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+                        alive_f, sd, s_pl, d_pl, ar, ag, ab)
+
+            st = (iox, ioy, ioz, idx_, idy, idz, one, one, one,
+                  zero, zero, zero, one, sd_i, zero, zero, *acc0)
+            st = jax.lax.while_loop(cond, body, st)
+            acc_r, acc_g, acc_b = st[16], st[17], st[18]
+            # carried seed chain: per-lane chain after its last sample
+            # (sequential); parallel re-folds per (sample, batch), so
+            # the base pixel seed is the carried state — same as the
+            # sequential-sample loop's contract
+            sd_end = seed0 if parallel else st[13]
 
         if carry_state:
             # linear sums + final seed chain (progressive carried state)
