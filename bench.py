@@ -53,7 +53,7 @@ def _cam(i: int, aspect: float):
                               vfov=20.0, aspect=aspect)
 
 
-def _time_calls(fn, scene, aspect, iters=3):
+def _time_calls(fn, scene, aspect, iters=5):
     """Median wall time of scalar-synchronized jitted calls."""
     float(fn(scene, _cam(997, aspect)))  # warmup/compile
     ts = []

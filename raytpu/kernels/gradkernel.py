@@ -51,7 +51,7 @@ from raytpu.scene import Scene
 from raytpu.kernels.megakernel import (
     _TILE_H, _TILE_W, _INF, _dot3, _normalize3, _reflect, _refract,
     _schlick, _sky, _pack_camera, _pack_scene, _pack_flat_at,
-    _onehot_attrs, _FLAT_MAX_LEAVES, _TIDX,
+    _onehot_attrs, _split_bf16x3, _FLAT_MAX_LEAVES, _TIDX,
 )
 
 
@@ -250,17 +250,43 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
         dyn_nsph = cam_ref[21].astype(jnp.int32)
         dyn_nodes = cam_ref[22].astype(jnp.int32)
 
-        # accumulate in SMEM SCRATCH (persists across sequential grid
-        # steps); the output blocks are written once, at the last tile
+        # accumulate in SCRATCH (persists across sequential grid
+        # steps); the output blocks are written once, at the last tile.
+        # Scene grads live in a VMEM (16, n_pad) accumulator (vector
+        # adds; scalar stores to VMEM are forbidden but vector ones are
+        # fine); camera sums stay SMEM scalars.
         @pl.when(first)
         def _():
-            def z_body(j, _):
-                for k in range(16):
-                    gsc_acc[k, j] = 0.0
-                return 0
-            jax.lax.fori_loop(0, gsc_acc.shape[1], z_body, 0)
+            gsc_acc[:, :] = jnp.zeros(
+                (16, gsc_acc.shape[1]), jnp.float32)
             for i in range(32):
                 gcam_acc[0, i] = 0.0
+
+        def scatter_attr_grads(idxm_f, g9):
+            """gsc_acc[:, j] += per-winner sums of the attribute
+            cotangents: one-hot MXU matmul per tile row (lanes with
+            idx = -1 contribute nothing), replacing a serial distinct
+            -winner while-loop whose trip count (~#distinct winners)
+            dominated large-scene PASS 2.  The g planes are bf16x3
+            -split at runtime so the matmul's bf16 input cast is
+            lossless (see megakernel._split_bf16x3)."""
+            npd = gsc_acc.shape[1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (npd, _TILE_W), 0)
+            zrow = jnp.zeros((1, _TILE_W), jnp.float32)
+            total = None
+            for r in range(_TILE_H):
+                gs = jnp.concatenate(
+                    [g9[k][r:r + 1] for k in range(9)] + [zrow] * 7,
+                    axis=0)                               # (16, W)
+                gs = _split_bf16x3(gs)                    # (48, W)
+                onehot = jnp.where(
+                    iota == idxm_f[r:r + 1].astype(jnp.int32), 1.0, 0.0)
+                out = jax.lax.dot_general(
+                    gs, onehot, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (48, npd)
+                c = out[0:16] + out[16:32] + out[32:48]
+                total = c if total is None else total + c
+            gsc_acc[:, :] += total
 
         def gen_ray(sd):
             """Jitter + raygen; returns (ray, u, v, lens draws, seed')."""
@@ -751,46 +777,15 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                         cb * est(m_ab, n_b, f_b) - v_b,
                         nm_mask)
 
-                    def nm_cond(st2):
-                        return jnp.max(st2[0]) >= 0
+                    zz = zero
+                    scatter_attr_grads(
+                        jnp.where(nm_mask, bi_m, -1.0),
+                        (mcx, mcy, mcz, mrad, zz, zz, zz, zz, zz))
 
-                    def nm_scat(st2):
-                        rem = st2[0]
-                        cur = jnp.max(rem)
-                        jj = cur.astype(jnp.int32)
-                        mm = jnp.where(rem == cur, 1.0, 0.0)
-                        gsc_acc[0, jj] += jnp.sum(mm * mcx)
-                        gsc_acc[1, jj] += jnp.sum(mm * mcy)
-                        gsc_acc[2, jj] += jnp.sum(mm * mcz)
-                        gsc_acc[3, jj] += jnp.sum(mm * mrad)
-                        return (jnp.where(rem == cur, -1.0, rem),)
-
-                    jax.lax.while_loop(
-                        nm_cond, nm_scat,
-                        (jnp.where(nm_mask, bi_m, -1.0),))
-
-                # scatter attr cotangents into the (16, N) accumulator
-                # by EXTRACTING unique winner indices one at a time: the
-                # iteration count is the number of distinct spheres this
-                # tile-bounce actually hit (usually << N; a fixed sweep
-                # over all N spheres made large-scene backward 14x the
-                # forward cost).
-                def u_cond(st):
-                    return jnp.max(st[0]) >= 0
-
-                def u_body(st):
-                    rem = st[0]
-                    cur = jnp.max(rem)
-                    m = jnp.where(idx_f == cur, 1.0, 0.0) * jnp.where(
-                        rem >= 0, 1.0, 0.0)
-                    j = cur.astype(jnp.int32)
-                    for k in range(9):
-                        gsc_acc[k, j] += jnp.sum(m * g_attrs[k])
-                    rem = jnp.where(idx_f == cur, -1.0, rem)
-                    return (rem,)
-
-                rem0 = jnp.where(scat, idx_f, -1.0)
-                jax.lax.while_loop(u_cond, u_body, (rem0,))
+                # attr cotangents -> per-winner accumulator rows via
+                # the one-hot matmul (masked lanes contribute nothing)
+                scatter_attr_grads(jnp.where(scat, idx_f, -1.0),
+                                   g_attrs)
                 return (*n_ro, *n_rd, *n_thr)
 
             carry = tuple(zero for _ in range(9))
@@ -825,11 +820,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
         @pl.when(last)
         def _():
-            def cp_body(j, _):
-                for k in range(16):
-                    gsc_ref[k, j] = gsc_acc[k, j]
-                return 0
-            jax.lax.fori_loop(0, gsc_acc.shape[1], cp_body, 0)
+            gsc_ref[:, :] = gsc_acc[:, :]
             for i in range(32):
                 gcam_ref[0, i] = gcam_acc[0, i]
 
@@ -873,10 +864,11 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
     n_pad = max(-(-nk // 128) * 128, 128)
-    # gradient outputs in SMEM (Mosaic forbids scalar stores to VMEM),
-    # written once at the final grid step from the scratch accumulators
+    # scene-grad output rides VMEM (vector-written once, at the final
+    # grid step, from the VMEM accumulator); the 32 camera sums stay
+    # SMEM scalars (Mosaic forbids scalar stores to VMEM)
     acc_sc = pl.BlockSpec((16, n_pad), lambda i, j: (0, 0),
-                          memory_space=pltpu.SMEM)
+                          memory_space=pltpu.VMEM)
     acc_cam = pl.BlockSpec((1, 32), lambda i, j: (0, 0),
                            memory_space=pltpu.SMEM)
 
@@ -896,8 +888,9 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     packed = _pack_scene(scene_k)
     # attribute matrix for the one-hot winner extraction: used by the
     # flat (t, idx) sweep AND by PASS 2's stored-index replay gather on
-    # every path (replaces the serial distinct-winner loop)
-    fat, fat_pad = _pack_flat_at(packed)
+    # every path (replaces the serial distinct-winner loop); padded to
+    # n_pad so winner indices align with the grad accumulator columns
+    fat, fat_pad = _pack_flat_at(packed, min_pad=n_pad)
     kernel = _make_grad_kernel(
         cfg, n, n_nodes=m, store_idx=store_idx, vis_w=float(vis_w),
         static_leaf=None if bvh is None else bvh.leaf_size,
@@ -921,7 +914,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
             pltpu.VMEM((cfg.spp, cfg.depth, _TILE_H, _TILE_W),
                        jnp.float32))
     scratch += [
-        pltpu.SMEM((16, n_pad), jnp.float32),
+        pltpu.VMEM((16, n_pad), jnp.float32),
         pltpu.SMEM((1, 32), jnp.float32),
     ]
     r, g, b, gsc, gcam = pl.pallas_call(

@@ -942,14 +942,15 @@ def _pack_scene(scene: Scene) -> jnp.ndarray:
     ]).astype(jnp.float32)
 
 
-def _pack_flat_at(packed):
+def _pack_flat_at(packed, min_pad: int = 8):
     """(48, n_pad) attribute matrix (_split_bf16x3 of 16 rows) for the
     flat (t, idx) sweep's one-hot winner extraction: the permuted
     scene's 9 rows with NaN leaf dummies zeroed (0 * NaN would poison
     the matmul; a dummy can never win the sweep so its column is only
-    ever multiplied by 0)."""
+    ever multiplied by 0).  ``min_pad`` lets callers align n_pad with
+    another per-sphere buffer (gradkernel's accumulator)."""
     npm = packed.shape[1]
-    n_pad = max(8, -(-npm // 8) * 8)
+    n_pad = max(min_pad, -(-npm // 8) * 8)
     at = jnp.zeros((16, n_pad), jnp.float32)
     at = at.at[0:9, :npm].set(jnp.nan_to_num(packed))
     return _split_bf16x3(at), n_pad

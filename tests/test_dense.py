@@ -62,6 +62,32 @@ def test_dense_small_scene_padding(force_dense):
     np.testing.assert_array_equal(img, ref)
 
 
+def test_refill_bit_equal_sequential(monkeypatch):
+    # the persistent-refill sample loop and the sequential per-sample
+    # loop must produce BIT-identical images (same per-lane seed
+    # chains and accumulation order) — the kernel picks by scene size
+    cfg = RenderConfig(width=64, height=40, spp=3, depth=6)
+    scene = raytpu.test_world()
+    cam = _cam(cfg.aspect)
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 10 ** 9)
+    seq = np.asarray(megakernel.render_pallas(scene, cam, cfg,
+                                              interpret=True))
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 0)
+    ref = np.asarray(megakernel.render_pallas(scene, cam, cfg,
+                                              interpret=True))
+    np.testing.assert_array_equal(seq, ref)
+    # parallel RNG mode re-folds per sample; check that path too
+    cfgp = RenderConfig(width=64, height=40, spp=3, depth=6,
+                        rng_mode="parallel")
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 10 ** 9)
+    seqp = np.asarray(megakernel.render_pallas(scene, cam, cfgp,
+                                               interpret=True))
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 0)
+    refp = np.asarray(megakernel.render_pallas(scene, cam, cfgp,
+                                               interpret=True))
+    np.testing.assert_array_equal(seqp, refp)
+
+
 def test_dense_ignores_bvh(force_dense):
     # a provided BVH is bypassed (dense tests every sphere); image
     # must be identical either way
