@@ -143,12 +143,13 @@ def bench_config4(extra):
     cfg_best = RenderConfig(width=800, height=400, spp=20, depth=12,
                             rng_mode="parallel")
     scene = raytpu.final_world()
-    bvh32 = build_bvh(scene, leaf_size=32)
+    bvh64 = build_bvh(scene, leaf_size=64)   # megakernel sweep optimum
+    bvh32 = build_bvh(scene, leaf_size=32)   # wavefront sweep optimum
     rays = cfg.width * cfg.height * cfg.spp
 
     for name, frame in (
         ("megakernel", lambda s, c: jnp.sum(
-            render(s, c, cfg, backend="pallas", bvh=bvh32))),
+            render(s, c, cfg, backend="pallas", bvh=bvh64))),
         ("wavefront", lambda s, c: jnp.sum(
             render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2))),
     ):
@@ -161,7 +162,7 @@ def bench_config4(extra):
 
     def fwdbwd_frame(s, c):
         def loss_fn(s, c):
-            img = render(s, c, cfg, backend="pallas", bvh=bvh32)
+            img = render(s, c, cfg, backend="pallas", bvh=bvh64)
             return jnp.mean((img - target) ** 2)
         g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
         return (jnp.sum(g[0].center) + jnp.sum(g[0].albedo)
@@ -179,20 +180,20 @@ def bench_config4(extra):
 def bench_refv2(extra):
     """The reference's own v2 workload: 1024x576, 60 spp, depth 50."""
     from raytpu.bvh import build_bvh
-    from raytpu.wavefront import render_wavefront
     cfg = REFERENCE_V2
     scene = raytpu.random_world()
-    bvh = build_bvh(scene, leaf_size=32)
+    bvh = build_bvh(scene, leaf_size=64)
     rays = cfg.width * cfg.height * cfg.spp
 
     @jax.jit
     def f(s, c):
-        return jnp.sum(render_wavefront(s, c, cfg, bvh=bvh))
+        return jnp.sum(render(s, c, cfg, backend="pallas", bvh=bvh))
 
     t = _time_calls(f, scene, cfg.aspect, iters=2)
     extra["refv2_fwd_rays_per_sec"] = round(rays / t)
     extra["refv2_fwd_ms"] = round(t * 1e3, 1)
-    extra["refv2_config"] = "random_world 1024x576 60spp depth50 wavefront"
+    extra["refv2_config"] = ("random_world 1024x576 60spp depth50 "
+                             "megakernel(refill, leaf64)")
 
 
 def bench_grad_sweep(extra):

@@ -164,7 +164,7 @@ def _flat_leaves(nodes_arr: np.ndarray) -> np.ndarray:
     return np.stack([c[c[:, 7] > 0] for c in copies]).reshape(-1, 9)
 
 
-def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
+def build_bvh(scene: Scene, leaf_size: int = 64, pad: float = 1e-4,
               use_native: bool = True, pad_leaves: bool = True,
               builder: str = "median") -> BVH:
     """BVH over the scene's spheres (host-side build).
@@ -188,8 +188,10 @@ def build_bvh(scene: Scene, leaf_size: int = 32, pad: float = 1e-4,
     entries with can't-hit dummies so kernels statically unroll the
     leaf loop; median splits leave real leaf sizes in
     (leaf_size/2, leaf_size], so the dummy overhead is small.  The
-    default leaf 32 is the round-2 500-sphere sweep optimum for the
-    static-unrolled kernels (16 was best for the old dynamic loops).
+    default leaf 64 is the round-2 500-sphere sweep optimum for the
+    persistent-refill megakernel (33 vs 30 Mrays/s at 32; incoherent
+    refill tiles enter most leaves anyway, so coarser leaves mean
+    fewer bbox/cond steps); the sorted wavefront slightly prefers 32.
     Padded BVHs additionally store 8 octant-ordered node copies
     (``nodes`` becomes (8*M, 9), see :func:`_octant_orders`) for
     front-to-back traversal.

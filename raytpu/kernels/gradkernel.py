@@ -336,9 +336,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 near_ok = root1 >= t_min
                 root = jnp.where(near_ok, root1, root2)
                 ok = has_root & (root >= t_min)
-                t_j = jnp.where(ok, root, _INF)
-                win = t_j < tb
-                return (jnp.where(win, t_j, tb),
+                win = ok & (root < tb)
+                return (jnp.where(win, root, tb),
                         jnp.where(win, j.astype(jnp.float32), bi),
                         *(jnp.where(win, s, h) for s, h in zip(s_at, at)))
 
@@ -396,9 +395,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     near_ok = root1 >= t_min
                     root = jnp.where(near_ok, root1, root2)
                     ok = has_root & (root >= t_min)
-                    t_j = jnp.where(ok, root, _INF)
-                    win = t_j < tb
-                    return (jnp.where(win, t_j, tb),
+                    win = ok & (root < tb)
+                    return (jnp.where(win, root, tb),
                             jnp.where(win, j.astype(jnp.float32), bi))
 
                 def leaf_iter_ti(k, ti):

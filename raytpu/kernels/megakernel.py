@@ -241,10 +241,10 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
             near_ok = root1 >= t_min
             root = jnp.where(near_ok, root1, root2)
             ok = has_root & (root >= t_min)
-            t_j = jnp.where(ok, root, _INF)
-
-            win = t_j < tb
-            tb = jnp.where(win, t_j, tb)
+            # (win == "ok and root < tb") is value-identical to the
+            # t_j = where(ok, root, INF); t_j < tb form, one op cheaper
+            win = ok & (root < tb)
+            tb = jnp.where(win, root, tb)
             h_cx = jnp.where(win, s_cx, h_cx)
             h_cy = jnp.where(win, s_cy, h_cy)
             h_cz = jnp.where(win, s_cz, h_cz)
@@ -389,9 +389,8 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                     near_ok = root1 >= t_min
                     root = jnp.where(near_ok, root1, root2)
                     ok = has_root & (root >= t_min)
-                    t_j = jnp.where(ok, root, _INF)
-                    win = t_j < tb
-                    tb = jnp.where(win, t_j, tb)
+                    win = ok & (root < tb)
+                    tb = jnp.where(win, root, tb)
                     idxf = jnp.where(win, j.astype(jnp.float32), idxf)
                     return (tb, idxf)
 

@@ -39,7 +39,11 @@ def _backend(name: str, bvh=None) -> str:
     if platform == "tpu":
         try:
             from raytpu.kernels import megakernel  # noqa: F401
-            return "wavefront" if bvh is not None else "pallas"
+            # the persistent-refill megakernel beats the sorted
+            # wavefront on every measured config (round-2 sweeps:
+            # config 4 33 vs 30, REFERENCE_V2 33 vs 29 Mrays/s), with
+            # or without a BVH
+            return "pallas"
         except ImportError:
             return "golden"
     return "golden"
