@@ -77,6 +77,12 @@ _TIDX = os.environ.get("RAYTPU_TIDX", "1") != "0"
 # Mrays/s; config 4 (500): refill 2x).  RAYTPU_REFILL_MIN=0 forces
 # refill everywhere.
 _REFILL_MIN = int(os.environ.get("RAYTPU_REFILL_MIN", "48"))
+# RAYTPU_STRIDE=1 (+ block_w=128): strided pixel interleave — tail
+# -decorrelation experiment for the refill loop.  MEASURED NEGATIVE on
+# config 4 (15 vs 33 Mrays/s): scattering a tile's lanes across the
+# frame kills primary-ray frustum coherence, which is worth far more
+# than the path-length-tail reduction.  Kept as a documented probe.
+_STRIDED = bool(os.environ.get("RAYTPU_STRIDE"))
 # dense-MXU hit stage: "auto" engages it on compiled kernels when the
 # scene has at least RAYTPU_DENSE_MIN spheres; "1" forces it on
 # (including interpret mode), "0" off.  See make_bounce_body.
@@ -673,7 +679,8 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                  static_leaf: int | None = None,
                  flat_leaves: bool = False,
                  dense_pad: int | None = None,
-                 flat_at_pad: int | None = None):
+                 flat_at_pad: int | None = None,
+                 strided: bool = False):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -705,7 +712,23 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
         # row0 (cam slot 23): absolute row of this kernel's first tile —
         # nonzero when a device renders one slab of a sharded frame
         row0 = cam_ref[23].astype(jnp.int32)
-        if block_w == _TILE_W:
+        if strided:
+            # strided pixel interleave: lane (r, c) of tile (ti, tj)
+            # covers pixel (ti + r*gi, tj + c*gj) — a tile's 1024
+            # lanes form a sparse grid over the whole frame, so their
+            # per-lane path-length TOTALS decorrelate and the refill
+            # loop's tile-max work pulls toward the mean.  Outputs are
+            # unscrambled by a pure transpose; pixels are identical
+            # (RNG seeds are absolute-coordinate).  NOTE: measured a
+            # NET LOSS (see _STRIDED) — losing primary frustum
+            # coherence costs more than the tail saves.
+            gi = pl.num_programs(0)
+            gj = pl.num_programs(1)
+            py = (row0 + ti
+                  + gi * jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+            px = (tj
+                  + gj * jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        elif block_w == _TILE_W:
             py = (row0 + ti * _TILE_H
                   + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
             px = (tj * _TILE_W
@@ -1025,17 +1048,19 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
                                    vma=frozenset(vma))
     plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
+    strided = _STRIDED and block_w == _TILE_W
     if _use_dense(n, interpret, has_bvh=nodes is not None):
         # dense hit stage: every sphere tested as (n_pad, W) planes; a
         # provided BVH is ignored (only reachable with RAYTPU_DENSE=1)
         mx, at, n_pad = _pack_dense(scene)
-        kernel = _make_kernel(cfg, n, block_w=block_w, dense_pad=n_pad)
+        kernel = _make_kernel(cfg, n, block_w=block_w, dense_pad=n_pad,
+                              strided=strided)
         operands = (_pack_camera(cam, cfg, n, 0, row0),
                     _pack_scene(scene), mx, at)
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         in_specs = [smem, smem, vmem, vmem]
     elif nodes is None:
-        kernel = _make_kernel(cfg, n, block_w=block_w)
+        kernel = _make_kernel(cfg, n, block_w=block_w, strided=strided)
         operands = (_pack_camera(cam, cfg, n, 0, row0), _pack_scene(scene))
         in_specs = [smem, smem]
     else:
@@ -1057,7 +1082,8 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
             fat, fat_pad = _pack_flat_at(packed)
             kernel = _make_kernel(cfg, n, n_nodes=m, block_w=block_w,
                                   static_leaf=leaf_size,
-                                  flat_leaves=True, flat_at_pad=fat_pad)
+                                  flat_leaves=True, flat_at_pad=fat_pad,
+                                  strided=strided)
             operands = (_pack_camera(cam, cfg, n, m, row0),
                         packed, fat, nd.T.astype(jnp.float32))
             in_specs = [smem, smem,
@@ -1065,7 +1091,8 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
         else:
             kernel = _make_kernel(cfg, n, n_nodes=m, block_w=block_w,
                                   static_leaf=leaf_size,
-                                  flat_leaves=use_flat)
+                                  flat_leaves=use_flat,
+                                  strided=strided)
             operands = (_pack_camera(cam, cfg, n, m, row0),
                         packed, nd.T.astype(jnp.float32))
             in_specs = [smem, smem, smem]
@@ -1080,8 +1107,20 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
     if block_w != _TILE_W:
         r, g, b = (_unscramble(x, grid, block_h, block_w)
                    for x in (r, g, b))
+    elif strided:
+        r, g, b = (_unstride(x, grid) for x in (r, g, b))
     img = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
     return img
+
+
+def _unstride(x, grid):
+    """Strided-interleave layout -> image layout (pure transpose):
+    lane (r, c) of tile (ti, tj) rendered pixel (ti + r*gi,
+    tj + c*gj)."""
+    gi, gj = grid
+    return (x.reshape(gi, _TILE_H, gj, _TILE_W)
+            .transpose(1, 0, 3, 2)
+            .reshape(gi * _TILE_H, gj * _TILE_W))
 
 
 def _unscramble(x, grid, block_h, block_w):
