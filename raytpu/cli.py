@@ -192,8 +192,9 @@ def main(argv=None) -> int:
     r.add_argument("--backend",
                    choices=("auto", "golden", "pallas", "wavefront"),
                    default="auto",
-                   help="auto = wavefront for --bvh scenes on TPU, "
-                        "else pallas on TPU, golden elsewhere")
+                   help="auto = pallas (refill megakernel) on TPU — or "
+                        "wavefront when --spp-batch > 1 requires it — "
+                        "golden elsewhere")
     r.add_argument("--scatter-mode", choices=("v2", "v1"), default="v2",
                    help="material semantics generation (v1 = the pixel"
                         "-shader reference's hemisphere diffuse etc.)")

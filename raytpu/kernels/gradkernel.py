@@ -51,7 +51,8 @@ from raytpu.scene import Scene
 from raytpu.kernels.megakernel import (
     _TILE_H, _TILE_W, _INF, _dot3, _normalize3, _reflect, _refract,
     _schlick, _sky, _pack_camera, _pack_scene, _pack_flat_at,
-    _onehot_attrs, _split_bf16x3, _FLAT_MAX_LEAVES, _TIDX,
+    _onehot_attrs, _split_bf16x3, _flat_sweep_ti, _FLAT_MAX_LEAVES,
+    _TIDX,
 )
 
 
@@ -370,65 +371,13 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
             if flat_leaves:
                 # flat leaf-list (t, idx) sweep + one-hot extraction —
-                # see megakernel.make_bounce_body: same leaves, same
-                # front-to-back tfar <= t_best culling, no interior
-                # node visits, 2 predicated updates per sphere.
+                # the SAME megakernel._flat_sweep_ti the forward bounce
+                # body runs (op-for-op lockstep by construction)
                 assert static_leaf and fat_pad
-
-                def body_ti(j, ti):
-                    tb, bi = ti
-                    s_cx = sc_ref[0, j]
-                    s_cy = sc_ref[1, j]
-                    s_cz = sc_ref[2, j]
-                    s_rad = sc_ref[3, j]
-                    ocx = ox - s_cx
-                    ocy = oy - s_cy
-                    ocz = oz - s_cz
-                    half_b = ocx * dx + ocy * dy + ocz * dz
-                    c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
-                         - s_rad * s_rad)
-                    disc = half_b * half_b - a * c
-                    has_root = disc >= 0
-                    sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
-                    root1 = (-half_b - sqrtd) * inv_a
-                    root2 = (-half_b + sqrtd) * inv_a
-                    near_ok = root1 >= t_min
-                    root = jnp.where(near_ok, root1, root2)
-                    ok = has_root & (root >= t_min)
-                    win = ok & (root < tb)
-                    return (jnp.where(win, root, tb),
-                            jnp.where(win, j.astype(jnp.float32), bi))
-
-                def leaf_iter_ti(k, ti):
-                    tb = ti[0]
-                    node = nbase + k
-                    t1 = (nd_ref[0, node] - ox) * inv_dx
-                    t2 = (nd_ref[3, node] - ox) * inv_dx
-                    t3 = (nd_ref[1, node] - oy) * inv_dy
-                    t4 = (nd_ref[4, node] - oy) * inv_dy
-                    t5 = (nd_ref[2, node] - oz) * inv_dz
-                    t6 = (nd_ref[5, node] - oz) * inv_dz
-                    tnear = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t1, t2),
-                                    jnp.minimum(t3, t4)),
-                        jnp.maximum(jnp.minimum(t5, t6), t_min))
-                    tfar = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t1, t2),
-                                    jnp.maximum(t3, t4)),
-                        jnp.minimum(jnp.maximum(t5, t6), tb))
-                    boxhit = ~(tnear > tfar) & alive
-                    anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
-                    start = nd_ref[6, node].astype(jnp.int32)
-
-                    def do_leaf(ti):
-                        for kk in range(static_leaf):
-                            ti = body_ti(start + kk, ti)
-                        return ti
-
-                    return jax.lax.cond(anyhit, do_leaf, lambda t: t, ti)
-
-                tb, idxf = jax.lax.fori_loop(
-                    0, dyn_nodes, leaf_iter_ti, (zero + _INF, zero - 1.0))
+                tb, idxf = _flat_sweep_ti(
+                    sc_ref, nd_ref, dyn_nodes, nbase, static_leaf,
+                    t_min, (ox, oy, oz, dx, dy, dz),
+                    (inv_dx, inv_dy, inv_dz), a, inv_a, alive)
                 attrs = _onehot_attrs(fat_ref[:, :], fat_pad, idxf)
                 return idxf, tb < _INF, attrs
 

@@ -180,6 +180,77 @@ def _onehot_attrs(fat, at_pad, idxf):
         for k in range(9))
 
 
+def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
+                   rays, inv_d, a, inv_a, alive):
+    """Flat leaf-list closest-hit sweep -> (t_best, winner-index f32,
+    -1 = miss): iterate the octant-ordered leaf rows front-to-back
+    (``nd_ref`` = transposed ``bvh.flat``), entering a leaf's
+    statically-unrolled ``static_leaf`` sphere tests iff ANY live lane
+    hits its bbox within the current t_best.  The per-sphere loop
+    -carried state is just (t_best, index) — 2 predicated updates.
+    SHARED op-for-op by the megakernel bounce body and the VJP
+    kernel's closest_hit (CLAUDE.md lockstep rule)."""
+    ox, oy, oz, dx, dy, dz = rays
+    inv_dx, inv_dy, inv_dz = inv_d
+    zero = jnp.zeros_like(ox)
+
+    def sphere_body_ti(j, ti):
+        tb, idxf = ti
+        s_cx = sc_ref[0, j]
+        s_cy = sc_ref[1, j]
+        s_cz = sc_ref[2, j]
+        s_rad = sc_ref[3, j]
+        ocx = ox - s_cx
+        ocy = oy - s_cy
+        ocz = oz - s_cz
+        half_b = ocx * dx + ocy * dy + ocz * dz
+        c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+             - s_rad * s_rad)
+        disc = half_b * half_b - a * c
+        has_root = disc >= 0
+        sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
+        root1 = (-half_b - sqrtd) * inv_a
+        root2 = (-half_b + sqrtd) * inv_a
+        near_ok = root1 >= t_min
+        root = jnp.where(near_ok, root1, root2)
+        ok = has_root & (root >= t_min)
+        win = ok & (root < tb)
+        tb = jnp.where(win, root, tb)
+        idxf = jnp.where(win, j.astype(jnp.float32), idxf)
+        return (tb, idxf)
+
+    def leaf_iter_ti(k, ti):
+        tb = ti[0]
+        node = nbase + k
+        t1 = (nd_ref[0, node] - ox) * inv_dx
+        t2 = (nd_ref[3, node] - ox) * inv_dx
+        t3 = (nd_ref[1, node] - oy) * inv_dy
+        t4 = (nd_ref[4, node] - oy) * inv_dy
+        t5 = (nd_ref[2, node] - oz) * inv_dz
+        t6 = (nd_ref[5, node] - oz) * inv_dz
+        tnear = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1, t2),
+                        jnp.minimum(t3, t4)),
+            jnp.maximum(jnp.minimum(t5, t6), t_min))
+        tfar = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1, t2),
+                        jnp.maximum(t3, t4)),
+            jnp.minimum(jnp.maximum(t5, t6), tb))
+        boxhit = ~(tnear > tfar) & alive
+        anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
+        start = nd_ref[6, node].astype(jnp.int32)
+
+        def do_leaf(ti):
+            for kk in range(static_leaf):
+                ti = sphere_body_ti(start + kk, ti)
+            return ti
+
+        return jax.lax.cond(anyhit, do_leaf, lambda t: t, ti)
+
+    return jax.lax.fori_loop(0, dyn_nodes, leaf_iter_ti,
+                             (zero + _INF, zero - 1.0))
+
+
 def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                      scatter_mode: str = "v2",
                      static_leaf: int | None = None,
@@ -374,62 +445,10 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                 # never win the sweep, and misses keep idx = -1 which
                 # one-hots to all-zero columns).
                 fat_ref, at_pad = flat_at
-
-                def sphere_body_ti(j, ti):
-                    tb, idxf = ti
-                    s_cx = sc_ref[0, j]
-                    s_cy = sc_ref[1, j]
-                    s_cz = sc_ref[2, j]
-                    s_rad = sc_ref[3, j]
-                    ocx = ox - s_cx
-                    ocy = oy - s_cy
-                    ocz = oz - s_cz
-                    half_b = ocx * dx + ocy * dy + ocz * dz
-                    c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
-                         - s_rad * s_rad)
-                    disc = half_b * half_b - a * c
-                    has_root = disc >= 0
-                    sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
-                    root1 = (-half_b - sqrtd) * inv_a
-                    root2 = (-half_b + sqrtd) * inv_a
-                    near_ok = root1 >= t_min
-                    root = jnp.where(near_ok, root1, root2)
-                    ok = has_root & (root >= t_min)
-                    win = ok & (root < tb)
-                    tb = jnp.where(win, root, tb)
-                    idxf = jnp.where(win, j.astype(jnp.float32), idxf)
-                    return (tb, idxf)
-
-                def leaf_iter_ti(k, ti):
-                    tb = ti[0]
-                    node = nbase + k
-                    t1 = (nd_ref[0, node] - ox) * inv_dx
-                    t2 = (nd_ref[3, node] - ox) * inv_dx
-                    t3 = (nd_ref[1, node] - oy) * inv_dy
-                    t4 = (nd_ref[4, node] - oy) * inv_dy
-                    t5 = (nd_ref[2, node] - oz) * inv_dz
-                    t6 = (nd_ref[5, node] - oz) * inv_dz
-                    tnear = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t1, t2),
-                                    jnp.minimum(t3, t4)),
-                        jnp.maximum(jnp.minimum(t5, t6), t_min))
-                    tfar = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t1, t2),
-                                    jnp.maximum(t3, t4)),
-                        jnp.minimum(jnp.maximum(t5, t6), tb))
-                    boxhit = ~(tnear > tfar) & alive
-                    anyhit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0
-                    start = nd_ref[6, node].astype(jnp.int32)
-
-                    def do_leaf(ti):
-                        for kk in range(static_leaf):
-                            ti = sphere_body_ti(start + kk, ti)
-                        return ti
-
-                    return jax.lax.cond(anyhit, do_leaf, lambda t: t, ti)
-
-                tb, idxf = jax.lax.fori_loop(
-                    0, dyn_nodes, leaf_iter_ti, (zero + _INF, zero - 1.0))
+                tb, idxf = _flat_sweep_ti(
+                    sc_ref, nd_ref, dyn_nodes, nbase, static_leaf,
+                    t_min, (ox, oy, oz, dx, dy, dz),
+                    (inv_dx, inv_dy, inv_dz), a, inv_a, alive)
 
                 (h_cx, h_cy, h_cz, h_rad, h_mt,
                  h_ar, h_ag, h_ab, h_mp) = _onehot_attrs(

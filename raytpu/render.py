@@ -5,13 +5,14 @@ CSVersion/main.cpp shell) collapse into these functions: build a Scene and a
 Camera, call :func:`render`.  Backends:
 
 - ``"golden"``    — the pure-jnp oracle (raytpu/golden.py), runs anywhere.
-- ``"pallas"``    — fused Pallas TPU megakernel (raytpu/kernels/), the fast
-  path for small scenes.
+- ``"pallas"``    — fused Pallas TPU megakernel (raytpu/kernels/) with
+  persistent sample refill: the fastest engine on every measured config,
+  small or large (pass a BVH for large scenes).
 - ``"wavefront"`` — sorted-wavefront Pallas renderer (raytpu/wavefront.py):
-  rays re-sorted for coherence between bounce segments; the fast path for
-  large (BVH) scenes and deep configs.
-- ``"auto"``      — on TPU: wavefront when a BVH is passed, else pallas;
-  golden elsewhere.
+  rays re-sorted for coherence/compaction at sparse bounce boundaries;
+  also the ``spp_batch > 1`` engine.
+- ``"auto"``      — pallas on TPU (wavefront when ``spp_batch > 1``
+  requires it); golden elsewhere.
 
 ``render_grad`` returns (image, pulled-back gradients) of a scalar loss over
 the image w.r.t. (scene, camera) — the differentiable-rendering surface
@@ -32,7 +33,7 @@ from raytpu.scene import Scene
 from raytpu import golden
 
 
-def _backend(name: str, bvh=None) -> str:
+def _backend(name: str, bvh=None, spp_batch: int = 1) -> str:
     if name != "auto":
         return name
     platform = jax.devices()[0].platform
@@ -42,8 +43,8 @@ def _backend(name: str, bvh=None) -> str:
             # the persistent-refill megakernel beats the sorted
             # wavefront on every measured config (round-2 sweeps:
             # config 4 33 vs 30, REFERENCE_V2 33 vs 29 Mrays/s), with
-            # or without a BVH
-            return "pallas"
+            # or without a BVH; spp folding is a wavefront-only feature
+            return "wavefront" if spp_batch > 1 else "pallas"
         except ImportError:
             return "golden"
     return "golden"
@@ -61,7 +62,7 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
     ``spp_batch > 1`` (wavefront backend, parallel RNG mode) folds that
     many samples per pixel into the ray array for larger sort groups.
     """
-    backend = _backend(backend, bvh)
+    backend = _backend(backend, bvh, spp_batch)
     if spp_batch > 1 and backend != "wavefront":
         raise ValueError("spp_batch > 1 needs the wavefront backend")
     if backend == "golden":

@@ -88,6 +88,29 @@ def test_refill_bit_equal_sequential(monkeypatch):
     np.testing.assert_array_equal(seqp, refp)
 
 
+@pytest.mark.parametrize("rng_mode", ["sequential", "parallel"])
+def test_refill_bit_equal_progressive_carry(monkeypatch, rng_mode):
+    # the refill loop's carried-state contract (seed chains, carried
+    # accumulators, dyn_s0 batch offsets) must match the sequential
+    # loop's across progressive batches
+    from raytpu import progressive
+    cfg = RenderConfig(width=48, height=32, spp=4, depth=4,
+                       rng_mode=rng_mode)
+    scene = raytpu.test_world()
+    cam = _cam(cfg.aspect)
+
+    def run():
+        imgs = [img for _, img in progressive.render_progressive(
+            scene, cam, cfg, batch=2, backend="pallas")]
+        return np.asarray(imgs[-1])
+
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 10 ** 9)
+    seq = run()
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 0)
+    ref = run()
+    np.testing.assert_array_equal(seq, ref)
+
+
 def test_dense_ignores_bvh(force_dense):
     # a provided BVH is bypassed (dense tests every sphere); image
     # must be identical either way
