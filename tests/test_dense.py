@@ -88,6 +88,21 @@ def test_refill_bit_equal_sequential(monkeypatch):
     np.testing.assert_array_equal(seqp, refp)
 
 
+def test_flat_without_tidx_bit_equal(monkeypatch):
+    # RAYTPU_TIDX=0 selects the 10-attribute predicated flat sweep —
+    # keep the fallback path pinned to golden
+    from raytpu.bvh import build_bvh
+    cfg = RenderConfig(width=96, height=48, spp=2, depth=4)
+    scene = raytpu.final_world()
+    cam = _cam(cfg.aspect)
+    b = build_bvh(scene)
+    monkeypatch.setattr(megakernel, "_TIDX", False)
+    img = np.asarray(megakernel.render_pallas(scene, cam, cfg, bvh=b,
+                                              interpret=True))
+    ref = np.asarray(golden.render_golden(scene, cam, cfg))
+    np.testing.assert_array_equal(img, ref)
+
+
 @pytest.mark.parametrize("rng_mode", ["sequential", "parallel"])
 def test_refill_bit_equal_progressive_carry(monkeypatch, rng_mode):
     # the refill loop's carried-state contract (seed chains, carried
