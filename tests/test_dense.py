@@ -88,6 +88,49 @@ def test_refill_bit_equal_sequential(monkeypatch):
     np.testing.assert_array_equal(seqp, refp)
 
 
+def test_fuzz_scenes_all_hit_modes_match_golden(monkeypatch):
+    # randomized scenes with hollow-glass negative radii, tiny and
+    # huge spheres: every hit mode (brute loop, flat tidx, flat
+    # non-tidx, dense) must stay bit-equal to golden in interpret mode
+    from raytpu.bvh import build_bvh
+    from raytpu.scene import Scene
+    rng = np.random.default_rng(7)
+    cfg = RenderConfig(width=48, height=32, spp=2, depth=4)
+    cam = _cam(cfg.aspect)
+    for trial in range(2):
+        n = 60
+        center = rng.uniform(-6, 6, (n, 3)).astype(np.float32)
+        center[:, 1] = rng.uniform(0.2, 2.0, n)
+        radius = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        radius[: n // 6] *= -1.0                 # hollow glass shells
+        radius[n // 6] = 50.0                    # a huge one
+        radius[n // 6 + 1] = 1e-3                # a tiny one
+        mat = rng.integers(0, 3, n).astype(np.int32)
+        mat[: n // 6] = 2                        # negatives are glass
+        scene = Scene(
+            center=np.asarray(center),
+            radius=np.asarray(radius),
+            mat_type=np.asarray(mat),
+            albedo=rng.uniform(0, 1, (n, 3)).astype(np.float32),
+            mat_param=rng.uniform(0, 1.6, n).astype(np.float32),
+        )
+        ref = np.asarray(golden.render_golden(scene, cam, cfg))
+        b = build_bvh(scene)
+        flat = np.asarray(megakernel.render_pallas(
+            scene, cam, cfg, bvh=b, interpret=True))
+        np.testing.assert_array_equal(flat, ref, err_msg=f"flat {trial}")
+        brute = np.asarray(megakernel.render_pallas(
+            scene, cam, cfg, interpret=True))
+        np.testing.assert_array_equal(brute, ref,
+                                      err_msg=f"brute {trial}")
+        monkeypatch.setattr(megakernel, "_DENSE_MODE", "1")
+        dense = np.asarray(megakernel.render_pallas(
+            scene, cam, cfg, interpret=True))
+        monkeypatch.setattr(megakernel, "_DENSE_MODE", "0")
+        np.testing.assert_array_equal(dense, ref,
+                                      err_msg=f"dense {trial}")
+
+
 def test_flat_without_tidx_bit_equal(monkeypatch):
     # RAYTPU_TIDX=0 selects the 10-attribute predicated flat sweep —
     # keep the fallback path pinned to golden
