@@ -78,13 +78,14 @@ def validate_scene(scene: Scene) -> list[str]:
 
 
 def validate_backends(scene: Scene, cam: Camera, cfg: RenderConfig,
-                      atol_compiled: float = 2e-2) -> dict:
+                      atol_compiled: float = 2e-2, bvh=None) -> dict:
     """Cross-backend consistency sweep -> report dict.
 
     golden vs Pallas-interpret must be BIT-identical (same op sequence);
     compiled Pallas on real TPU hardware may differ by f32 scheduling,
     bounded by ``atol_compiled`` except on Schlick-branch-flip outliers
-    (reported, not failed).
+    (reported, not failed).  Pass a BVH to sweep the flat (t, idx)
+    traversal + one-hot extraction path instead of the brute loop.
     """
     from raytpu.kernels import megakernel
 
@@ -92,12 +93,14 @@ def validate_backends(scene: Scene, cam: Camera, cfg: RenderConfig,
     report = {"golden_finite": bool(np.isfinite(ref).all())}
 
     interp = np.asarray(
-        megakernel.render_pallas(scene, cam, cfg, interpret=True))
+        megakernel.render_pallas(scene, cam, cfg, bvh=bvh,
+                                 interpret=True))
     report["interpret_bit_identical"] = bool(np.array_equal(interp, ref))
 
     if jax.devices()[0].platform == "tpu":
         comp = np.asarray(jax.jit(
-            lambda s, c: megakernel.render_pallas(s, c, cfg))(scene, cam))
+            lambda s, c: megakernel.render_pallas(s, c, cfg, bvh=bvh)
+        )(scene, cam))
         diff = np.abs(comp - ref)
         report["compiled_max_diff"] = float(diff.max())
         report["compiled_outlier_frac"] = float(
