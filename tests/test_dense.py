@@ -146,6 +146,23 @@ def test_flat_without_tidx_bit_equal(monkeypatch):
     np.testing.assert_array_equal(img, ref)
 
 
+def test_refill_bit_equal_defocus(monkeypatch):
+    # thin-lens raygen consumes extra RNG draws conditionally — the
+    # refill respawn path must reproduce the sequential loop exactly
+    cfg = RenderConfig(width=64, height=40, spp=3, depth=5)
+    scene = raytpu.test_world()
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
+                             vfov=20.0, aspect=cfg.aspect,
+                             aperture=0.6, focus_dist=10.0)
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 10 ** 9)
+    seq = np.asarray(megakernel.render_pallas(scene, cam, cfg,
+                                              interpret=True))
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 0)
+    ref = np.asarray(megakernel.render_pallas(scene, cam, cfg,
+                                              interpret=True))
+    np.testing.assert_array_equal(seq, ref)
+
+
 @pytest.mark.parametrize("rng_mode", ["sequential", "parallel"])
 def test_refill_bit_equal_progressive_carry(monkeypatch, rng_mode):
     # the refill loop's carried-state contract (seed chains, carried
