@@ -317,6 +317,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             any-hit reduce."""
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
+            neg_inv_a = -inv_a
 
             def body(j, hs):
                 tb, bi = hs[0], hs[1]
@@ -330,14 +331,14 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
                      - s_rad * s_rad)
                 disc = half_b * half_b - a * c
-                has_root = disc >= 0
-                sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
-                root1 = (-half_b - sqrtd) * inv_a
-                root2 = (-half_b + sqrtd) * inv_a
+                # NaN-propagation root test (bit-identical, 4 ops
+                # cheaper — see megakernel._flat_sweep_ti)
+                sqrtd = jnp.sqrt(disc)
+                root1 = (half_b + sqrtd) * neg_inv_a
+                root2 = (sqrtd - half_b) * inv_a
                 near_ok = root1 >= t_min
                 root = jnp.where(near_ok, root1, root2)
-                ok = has_root & (root >= t_min)
-                win = ok & (root < tb)
+                win = (root >= t_min) & (root < tb)
                 return (jnp.where(win, root, tb),
                         jnp.where(win, j.astype(jnp.float32), bi),
                         *(jnp.where(win, s, h) for s, h in zip(s_at, at)))

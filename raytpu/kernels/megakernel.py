@@ -193,6 +193,7 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
     ox, oy, oz, dx, dy, dz = rays
     inv_dx, inv_dy, inv_dz = inv_d
     zero = jnp.zeros_like(ox)
+    neg_inv_a = -inv_a  # hoisted: root1's negation folds into the mul
 
     def sphere_body_ti(j, ti):
         tb, idxf = ti
@@ -207,14 +208,18 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
         c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
              - s_rad * s_rad)
         disc = half_b * half_b - a * c
-        has_root = disc >= 0
-        sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
-        root1 = (-half_b - sqrtd) * inv_a
-        root2 = (-half_b + sqrtd) * inv_a
+        # disc < 0 -> sqrt gives NaN; every NaN compare below is false
+        # so `win` stays false — BIT-identical to the has_root
+        # compare+select form it replaces, 3 vector ops cheaper.
+        # root1 = (-half_b - sqrtd)*inv_a rewritten with the hoisted
+        # -inv_a (negation and multiply sign-flips are exact in IEEE,
+        # so values are unchanged), one negate cheaper.
+        sqrtd = jnp.sqrt(disc)
+        root1 = (half_b + sqrtd) * neg_inv_a
+        root2 = (sqrtd - half_b) * inv_a
         near_ok = root1 >= t_min
         root = jnp.where(near_ok, root1, root2)
-        ok = has_root & (root >= t_min)
-        win = ok & (root < tb)
+        win = (root >= t_min) & (root < tb)
         tb = jnp.where(win, root, tb)
         idxf = jnp.where(win, j.astype(jnp.float32), idxf)
         return (tb, idxf)
@@ -290,6 +295,7 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
         # distinct winners and the serial extract loop dominates.)
         a = _dot3(dx, dy, dz, dx, dy, dz)
         inv_a = 1.0 / a  # hoisted: roots multiply in the hot loop
+        neg_inv_a = -inv_a
 
         def sphere_body(j, hs):
             (tb, h_cx, h_cy, h_cz, h_rad,
@@ -311,16 +317,15 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
             c = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
                  - s_rad * s_rad)
             disc = half_b * half_b - a * c
-            has_root = disc >= 0
-            sqrtd = jnp.sqrt(jnp.where(has_root, disc, 1.0))
-            root1 = (-half_b - sqrtd) * inv_a
-            root2 = (-half_b + sqrtd) * inv_a
+            # NaN-propagation form of the root test (see
+            # _flat_sweep_ti.sphere_body_ti): bit-identical, 4 ops
+            # cheaper than the has_root compare+select
+            sqrtd = jnp.sqrt(disc)
+            root1 = (half_b + sqrtd) * neg_inv_a
+            root2 = (sqrtd - half_b) * inv_a
             near_ok = root1 >= t_min
             root = jnp.where(near_ok, root1, root2)
-            ok = has_root & (root >= t_min)
-            # (win == "ok and root < tb") is value-identical to the
-            # t_j = where(ok, root, INF); t_j < tb form, one op cheaper
-            win = ok & (root < tb)
+            win = (root >= t_min) & (root < tb)
             tb = jnp.where(win, root, tb)
             h_cx = jnp.where(win, s_cx, h_cx)
             h_cy = jnp.where(win, s_cy, h_cy)
@@ -363,6 +368,7 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
             r2 = cl_ref[:, 3:4]                     # r^2 (pads: -3e38)
             at = at_ref[:, :]                       # (48, n_pad) splits
             iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, w), 0)
+            neg_inv_a = -inv_a
             tb_rows, attr_rows = [], []
             for r in range(ox.shape[0]):
                 sl = slice(r, r + 1)
@@ -373,16 +379,16 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                 ctm = (ocx * ocx + ocy * ocy + ocz * ocz) - r2
                 a_r = a[sl]
                 disc = half_b * half_b - a_r * ctm
-                has_root = disc >= 0
-                # padded rows carry r^2 = -3e38 -> disc < 0 (a > 0)
-                sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                # padded rows carry r^2 = -3e38 -> disc < 0 -> sqrt
+                # NaN -> compares false -> t_all = INF (NaN form of
+                # the root test, see _flat_sweep_ti: bit-identical)
+                sqrtd = jnp.sqrt(disc)
                 inv_a_r = inv_a[sl]
-                root1 = (-half_b - sqrtd) * inv_a_r
-                root2 = (-half_b + sqrtd) * inv_a_r
+                root1 = (half_b + sqrtd) * neg_inv_a[sl]
+                root2 = (sqrtd - half_b) * inv_a_r
                 near_ok = root1 >= t_min
                 root = jnp.where(near_ok, root1, root2)
-                okm = has_root & (root >= t_min)
-                t_all = jnp.where(okm, root, _INF)
+                t_all = jnp.where(root >= t_min, root, _INF)
                 tb_r = jnp.min(t_all, axis=0, keepdims=True)
                 idx_r = jnp.argmin(t_all, axis=0)
                 onehot = jnp.where(

@@ -203,7 +203,8 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                            cfg: RenderConfig, interpret: bool,
                            segments, tile_rows, leaf_size=None,
                            sort_every: int = 1, row0=0, rows=None,
-                           spp_batch: int = 1, flat=None):
+                           spp_batch: int = 1, flat=None,
+                           sort_chunk: int = 0):
     """Render rows [row0, row0+rows) of the cfg-sized frame as one
     wavefront.  ``row0`` may be traced (shard_map axis offset); RNG
     seeds and sort keys derive from ABSOLUTE pixel coords, so a sharded
@@ -303,6 +304,33 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         )(*operands)
         return [o.reshape(R) for o in outs[:14]], outs[14].reshape(R)
 
+    # sort-boundary plan: rays are independent and radiance is scattered
+    # by pid once at the end, so the image is BIT-IDENTICAL under any
+    # slot permutation — which frees the sort to be CHUNKED: C
+    # independent (tile-aligned) chunks batch-sorted along the last
+    # axis.  A monolithic R x 15-operand lax.sort outgrows VMEM and
+    # falls into a slow merge regime (~37 ms at 640k on a v5e); chunk
+    # sorts are embarrassingly parallel and near-linear.  Within-chunk
+    # order still makes kernel tiles key-uniform (only the C chunk
+    # -boundary tiles mix key groups), and dead rays compact to each
+    # chunk's tail where whole tiles early-exit.
+    if sort_chunk and R > sort_chunk:
+        tile_rays = trows * _TILE_W
+        n_tiles = rows // trows
+        tpc = max(1, sort_chunk // tile_rays)
+        while n_tiles % tpc:
+            tpc -= 1
+        n_chunks = n_tiles // tpc
+    else:
+        n_chunks = 1
+
+    def _sort_ops(ops):
+        if n_chunks == 1:
+            return list(jax.lax.sort(ops, num_keys=1))
+        ops2 = [o.reshape(n_chunks, R // n_chunks) for o in ops]
+        out = jax.lax.sort(ops2, dimension=1, num_keys=1)
+        return [o.reshape(R) for o in out]
+
     pid0 = jnp.arange(R, dtype=jnp.int32)
 
     def wave(carry, s):
@@ -341,13 +369,16 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         for i, seg in enumerate(segments):
             planes, key = seg_call(planes, seg)
             if i < len(segments) - 1:
-                ops = [key, pid.astype(jnp.float32), *planes]
+                # the alive plane (index 12) rides OUTSIDE the sort:
+                # the kernel writes key = _DEAD_KEY iff alive == 0, so
+                # it reconstructs exactly from the (sorted or not) key
+                ops = [key, pid.astype(jnp.float32),
+                       *planes[:12], planes[13]]
                 sorted_ops = jax.lax.cond(
-                    do_sort,
-                    lambda a: list(jax.lax.sort(a, num_keys=1)),
-                    lambda a: list(a), ops)
+                    do_sort, _sort_ops, lambda a: list(a), ops)
                 pid = sorted_ops[1].astype(jnp.int32)
-                planes = list(sorted_ops[2:])
+                alive_s = jnp.where(sorted_ops[0] < _DEAD_KEY, 1.0, 0.0)
+                planes = [*sorted_ops[2:14], alive_s, sorted_ops[14]]
         rad_r, rad_g, rad_b = planes[9], planes[10], planes[11]
         seed_out = jax.lax.bitcast_convert_type(planes[13], jnp.uint32)
         return (pid, seed_out, rad_r, rad_g, rad_b), None
@@ -389,27 +420,30 @@ def default_segments(depth: int) -> tuple[int, ...]:
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def _render_wavefront(scene, cam, nodes, perm, flat, cfg, interpret,
                       segments, tile_rows, vis_w, leaf_size, sort_every,
-                      spp_batch):
+                      spp_batch, sort_chunk):
     return _render_wavefront_impl(scene, cam, nodes, perm, cfg,
                                   interpret, segments, tile_rows,
                                   leaf_size, sort_every,
-                                  spp_batch=spp_batch, flat=flat)
+                                  spp_batch=spp_batch, flat=flat,
+                                  sort_chunk=sort_chunk)
 
 
 def _wf_fwd(scene, cam, nodes, perm, flat, cfg, interpret, segments,
-            tile_rows, vis_w, leaf_size, sort_every, spp_batch):
+            tile_rows, vis_w, leaf_size, sort_every, spp_batch,
+            sort_chunk):
     img = _render_wavefront_impl(scene, cam, nodes, perm, cfg,
                                  interpret, segments, tile_rows,
                                  leaf_size, sort_every,
-                                 spp_batch=spp_batch, flat=flat)
+                                 spp_batch=spp_batch, flat=flat,
+                                 sort_chunk=sort_chunk)
     return img, (scene, cam, nodes, perm, flat)
 
 
 def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size,
-            sort_every, spp_batch, res, ct):
+            sort_every, spp_batch, sort_chunk, res, ct):
     # backward: the fused Pallas VJP kernel (gradkernel.py) — shared
     # with the megakernel path; the wavefront is a forward-schedule
     # change only, so the same per-pixel reverse sweep applies.
@@ -439,7 +473,8 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
                      tile_rows: int | None = None,
                      vis_w: float = 0.0,
                      sort_every: int = 1,
-                     spp_batch: int = 1) -> jnp.ndarray:
+                     spp_batch: int = 1,
+                     sort_chunk: int = 65536) -> jnp.ndarray:
     """Full-frame sorted-wavefront render -> (H, W, 3) f32 image.
 
     Bit-identical (to 1 ulp; see tests/test_wavefront.py) to
@@ -452,6 +487,10 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
     overhead, smaller ones maximize coherence.  ``spp_batch = B`` folds
     B samples per pixel into the ray array (parallel RNG mode only) —
     B-times-larger sort groups, so large-scene traversal culls harder.
+    ``sort_chunk`` caps the rays per independent sort chunk (the image
+    is permutation-invariant, so chunked sorting only trades a few
+    chunk-boundary tiles' coherence for a near-linear sort;
+    0 = monolithic).
     Differentiable: the backward pass is the fused VJP kernel
     (``vis_w > 0`` adds silhouette gradients).
     """
@@ -469,4 +508,5 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
                              None if tile_rows is None else int(tile_rows),
                              float(vis_w),
                              None if bvh is None else bvh.leaf_size,
-                             int(sort_every), int(spp_batch))
+                             int(sort_every), int(spp_batch),
+                             int(sort_chunk))

@@ -72,6 +72,25 @@ def test_matches_golden_defocus():
     assert_ulp_equal(img, ref)
 
 
+def test_chunked_sort_matches_golden():
+    """sort_chunk partitions the sort into independent tile-aligned
+    chunks; the image is permutation-invariant so chunking must be
+    value-neutral (and the reconstructed alive plane exact)."""
+    cfg = RenderConfig(width=96, height=64, spp=2, depth=6,
+                       rng_mode="parallel")
+    scene = raytpu.random_world(half_extent=3)
+    cam = _cam(cfg.aspect)
+    b = build_bvh(scene)
+    ref = np.asarray(golden.render_golden(scene, cam, cfg))
+    # R = 96x64 = 6144 rays -> sort_chunk=1024 gives 6 real chunks
+    img = np.asarray(render_wavefront(scene, cam, cfg, bvh=b,
+                                      sort_chunk=1024, spp_batch=2))
+    assert_ulp_equal(img, ref)
+    mono = np.asarray(render_wavefront(scene, cam, cfg, bvh=b,
+                                       sort_chunk=0, spp_batch=2))
+    np.testing.assert_array_equal(img, mono)
+
+
 def test_nonaligned_size_and_depth1():
     cfg = RenderConfig(width=70, height=45, spp=2, depth=1)
     scene = raytpu.test_world()
