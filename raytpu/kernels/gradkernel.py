@@ -194,10 +194,13 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                       vis_w: float = 0.0,
                       static_leaf: int | None = None,
                       flat_leaves: bool = False,
-                      fat_pad: int | None = None):
+                      fat_pad: int | None = None,
+                      skip_p1: bool = False):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
+    assert not (skip_p1 and not parallel), \
+        "PASS-1 elision needs order-free per-sample seeds (parallel RNG)"
     t_min = np.float32(cfg.t_min)
     inv_w = np.float32(1.0 / (cfg.width - 1))
     inv_h = np.float32(1.0 / (cfg.height - 1))
@@ -207,11 +210,20 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
     def kernel(cam_ref, sc_ref, *rest):
         idx_ref = None
         fat_ref = None
+        seeds_ref = None
+        imgr_ref = imgg_ref = imgb_ref = None
         if n_nodes:
             nd_ref, *rest = rest
         if fat_pad:
             fat_ref, *rest = rest
-        if store_idx:
+        if skip_p1:
+            # PASS 1 elided: the forward image rides in as an operand
+            # (parallel RNG re-derives each sample's seed by fold_in, so
+            # neither per-sample seeds nor winner indices need storing)
+            (ctr_ref, ctg_ref, ctb_ref, imgr_ref, imgg_ref, imgb_ref,
+             r_ref, g_ref, b_ref, gsc_ref, gcam_ref,
+             res_ref, gsc_acc, gcam_acc) = rest
+        elif store_idx:
             (ctr_ref, ctg_ref, ctb_ref,
              r_ref, g_ref, b_ref, gsc_ref, gcam_ref,
              res_ref, seeds_ref, idx_ref, gsc_acc, gcam_acc) = rest
@@ -531,29 +543,39 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
         jax.lax.fori_loop(0, dyn_depth, full_clr, 0)
 
-        # ---- PASS 1: forward all samples -> linear sums
-        def p1_body(s, carry):
-            acc_r, acc_g, acc_b, sd = carry
-            if parallel:
-                sd_s = rng.fold_in(sd, s)
-                seeds_ref[s] = pltpu.bitcast(sd_s, jnp.float32)
-                (r, g, b), _, _ = fwd_sample(sd_s, False, s)
-                sd_out = sd
-            else:
-                seeds_ref[s] = pltpu.bitcast(sd, jnp.float32)
-                (r, g, b), sd_out, _ = fwd_sample(sd, False, s)
-            return acc_r + r, acc_g + g, acc_b + b, sd_out
+        # ---- PASS 1: forward all samples -> linear sums.  Elided when
+        # the caller supplies the forward image (skip_p1): the cotangent
+        # scale below needs only the gamma'd image, and parallel RNG
+        # re-derives per-sample seeds — so the whole extra forward (the
+        # dominant closest-hit sweep included) vanishes from the VJP.
+        if skip_p1:
+            img_r = imgr_ref[:, :]
+            img_g = imgg_ref[:, :]
+            img_b = imgb_ref[:, :]
+        else:
+            def p1_body(s, carry):
+                acc_r, acc_g, acc_b, sd = carry
+                if parallel:
+                    sd_s = rng.fold_in(sd, s)
+                    seeds_ref[s] = pltpu.bitcast(sd_s, jnp.float32)
+                    (r, g, b), _, _ = fwd_sample(sd_s, False, s)
+                    sd_out = sd
+                else:
+                    seeds_ref[s] = pltpu.bitcast(sd, jnp.float32)
+                    (r, g, b), sd_out, _ = fwd_sample(sd, False, s)
+                return acc_r + r, acc_g + g, acc_b + b, sd_out
 
-        acc_r, acc_g, acc_b, _ = jax.lax.fori_loop(
-            0, dyn_spp, p1_body, (zero, zero, zero, seed0))
+            acc_r, acc_g, acc_b, _ = jax.lax.fori_loop(
+                0, dyn_spp, p1_body, (zero, zero, zero, seed0))
 
-        def to_gamma(x):
-            safe = jnp.where(x > 0, x, 1.0)
-            return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
+            def to_gamma(x):
+                safe = jnp.where(x > 0, x, 1.0)
+                return jnp.where(x > 0, jnp.exp(jnp.log(safe) / gamma),
+                                 0.0)
 
-        img_r = to_gamma(acc_r * inv_spp)
-        img_g = to_gamma(acc_g * inv_spp)
-        img_b = to_gamma(acc_b * inv_spp)
+            img_r = to_gamma(acc_r * inv_spp)
+            img_g = to_gamma(acc_g * inv_spp)
+            img_b = to_gamma(acc_b * inv_spp)
         r_ref[:, :] = img_r
         g_ref[:, :] = img_g
         b_ref[:, :] = img_b
@@ -574,7 +596,12 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
         # ---- PASS 2: per sample, re-forward with stores then reverse
         def p2_body(s, cam_sums):
-            sd_s = pltpu.bitcast(seeds_ref[s], jnp.uint32)
+            if skip_p1:
+                # same derivation PASS 1 would have stored (parallel
+                # mode never advances the pixel seed across samples)
+                sd_s = rng.fold_in(seed0, s)
+            else:
+                sd_s = pltpu.bitcast(seeds_ref[s], jnp.uint32)
             (v_r, v_g, v_b), _, (u, v, (ldx, ldy)) = fwd_sample(
                 sd_s, True, s)
 
@@ -777,7 +804,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
 def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                       interpret: bool | None = None, bvh=None,
-                      row0=0, rows=None, vma=None, vis_w: float = 0.0):
+                      row0=0, rows=None, vma=None, vis_w: float = 0.0,
+                      img=None):
     """Fused image + VJP -> (img, d_scene, d_camera) for image cotangent
     ``ct``.  Pass a BVH to accelerate large scenes (the returned d_scene
     is in the ORIGINAL sphere order).
@@ -785,6 +813,14 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     ``(row0, rows)`` restrict to a row slab of the cfg-sized frame (for
     sharded execution; ``ct`` must then be the slab's (rows, W, 3)
     cotangent); ``vma`` declares varying mesh axes under shard_map.
+
+    ``img`` (parallel RNG mode only): the already-rendered forward image
+    for this (scene, cam, cfg) — elides the kernel's PASS-1 forward
+    entirely (the cotangent scale needs only the gamma'd image and
+    per-sample seeds re-derive by fold_in), cutting one full closest
+    -hit sweep from the VJP.  The custom_vjp wrappers pass the image
+    they already rendered.  Sequential RNG ignores it (sample seeds
+    chain through the trace, so PASS 1 must run).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -832,7 +868,12 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                 and bvh.n_leaves <= _FLAT_MAX_LEAVES and _TIDX)
     m = 0 if bvh is None else (bvh.n_leaves if use_flat else bvh.n_trav)
     tile_bytes = _TILE_H * _TILE_W * 4
-    store_idx = cfg.spp * cfg.depth * tile_bytes <= _IDX_VMEM_BUDGET
+    skip_p1 = img is not None and cfg.rng_mode == "parallel"
+    # with PASS 1 elided there is no index-recording pass; PASS 2's
+    # forward runs the closest-hit sweep itself (once total — still one
+    # fewer sweep than the PASS-1 + replay scheme)
+    store_idx = (not skip_p1 and
+                 cfg.spp * cfg.depth * tile_bytes <= _IDX_VMEM_BUDGET)
     packed = _pack_scene(scene_k)
     # attribute matrix for the one-hot winner extraction: used by the
     # flat (t, idx) sweep AND by PASS 2's stored-index replay gather on
@@ -842,7 +883,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     kernel = _make_grad_kernel(
         cfg, n, n_nodes=m, store_idx=store_idx, vis_w=float(vis_w),
         static_leaf=None if bvh is None else bvh.leaf_size,
-        flat_leaves=use_flat, fat_pad=fat_pad)
+        flat_leaves=use_flat, fat_pad=fat_pad, skip_p1=skip_p1)
     operands = [_pack_camera(cam, cfg, n, m, row0), packed]
     in_specs = [smem, smem]
     if bvh is not None:
@@ -853,10 +894,17 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     operands += [ct_pad[:, :, 0], ct_pad[:, :, 1], ct_pad[:, :, 2]]
     in_specs += [plane, plane, plane]
+    if skip_p1:
+        img_pad = jnp.zeros((hp, wp, 3), jnp.float32).at[:h, :w].set(
+            jnp.asarray(img, jnp.float32))
+        operands += [img_pad[:, :, 0], img_pad[:, :, 1], img_pad[:, :, 2]]
+        in_specs += [plane, plane, plane]
     scratch = [
         pltpu.VMEM((cfg.depth, _NRES, _TILE_H, _TILE_W), jnp.float32),
-        pltpu.VMEM((cfg.spp, _TILE_H, _TILE_W), jnp.float32),
     ]
+    if not skip_p1:
+        scratch.append(
+            pltpu.VMEM((cfg.spp, _TILE_H, _TILE_W), jnp.float32))
     if store_idx:
         scratch.append(
             pltpu.VMEM((cfg.spp, cfg.depth, _TILE_H, _TILE_W),

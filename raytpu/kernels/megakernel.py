@@ -1181,24 +1181,26 @@ def _render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 def _fwd(scene, cam, cfg, interpret, block_w, vis_w):
-    return _render_pallas_fwd_impl(scene, cam, cfg, interpret,
-                                   block_w=block_w), (scene, cam)
+    img = _render_pallas_fwd_impl(scene, cam, cfg, interpret,
+                                  block_w=block_w)
+    return img, (scene, cam, img)
 
 
 def _bwd(cfg, interpret, block_w, vis_w, res, ct):
     # compiled path: the fused Pallas VJP kernel (raytpu/kernels/
-    # gradkernel.py) - whole reverse sweep in VMEM.  Interpret mode keeps
-    # the XLA adjoint (the fused kernel's interpreter is far slower than
-    # compiled XLA on CPU test sizes).  vis_w > 0 adds silhouette
-    # gradients on either path.
+    # gradkernel.py) - whole reverse sweep in VMEM.  The forward image
+    # residual elides the VJP's PASS-1 forward in parallel RNG mode.
+    # Interpret mode keeps the XLA adjoint (the fused kernel's
+    # interpreter is far slower than compiled XLA on CPU test sizes).
+    # vis_w > 0 adds silhouette gradients on either path.
+    scene, cam, img = res
     if not interpret:
         from raytpu.kernels import gradkernel
-        scene, cam = res
         _, ds, dc = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
                                                  interpret=False,
-                                                 vis_w=vis_w)
+                                                 vis_w=vis_w, img=img)
         return ds, dc
-    return _golden_bwd(cfg, res, ct, vis_w)
+    return _golden_bwd(cfg, (scene, cam), ct, vis_w)
 
 
 _render_pallas.defvjp(_fwd, _bwd)
@@ -1218,18 +1220,18 @@ def _fwd_bvh(scene, cam, nodes, perm, flat, cfg, interpret, block_w,
     img = _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm,
                                   block_w=block_w, leaf_size=leaf_size,
                                   flat=flat)
-    return img, (scene, cam, nodes, perm, flat)
+    return img, (scene, cam, nodes, perm, flat, img)
 
 
 def _bwd_bvh(cfg, interpret, block_w, vis_w, leaf_size, res, ct):
-    scene, cam, nodes, perm, flat = res
+    scene, cam, nodes, perm, flat, img = res
     if not interpret:
         from raytpu.bvh import BVH
         from raytpu.kernels import gradkernel
         _, ds, dc = gradkernel.render_pallas_vjp(
             scene, cam, cfg, ct, interpret=False,
             bvh=BVH(nodes=nodes, perm=perm, leaf_size=leaf_size),
-            vis_w=vis_w)
+            vis_w=vis_w, img=img)
     else:
         ds, dc = _golden_bwd(cfg, (scene, cam), ct, vis_w)
     # BVH geometry is derived data: no cotangent (all-f32 by design)

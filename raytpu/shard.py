@@ -238,7 +238,7 @@ def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
         ct = 2.0 * diff * inv_m
         _, ds, dc = gradkernel.render_pallas_vjp(
             scene, cam, cfg, ct, interpret=interpret, bvh=bvh,
-            row0=row0, rows=slab)
+            row0=row0, rows=slab, img=img)
         ds = jax.lax.psum(ds._replace(mat_type=jnp.zeros(())), AXIS)
         dc = jax.lax.psum(dc, AXIS)
         return loss, ds, dc

@@ -439,16 +439,17 @@ def _wf_fwd(scene, cam, nodes, perm, flat, cfg, interpret, segments,
                                  leaf_size, sort_every,
                                  spp_batch=spp_batch, flat=flat,
                                  sort_chunk=sort_chunk)
-    return img, (scene, cam, nodes, perm, flat)
+    return img, (scene, cam, nodes, perm, flat, img)
 
 
 def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size,
             sort_every, spp_batch, sort_chunk, res, ct):
     # backward: the fused Pallas VJP kernel (gradkernel.py) — shared
     # with the megakernel path; the wavefront is a forward-schedule
-    # change only, so the same per-pixel reverse sweep applies.
+    # change only, so the same per-pixel reverse sweep applies.  The
+    # image residual elides the VJP's PASS-1 forward (parallel RNG).
     from raytpu.kernels.megakernel import _golden_bwd
-    scene, cam, nodes, perm, flat = res
+    scene, cam, nodes, perm, flat, img = res
     if not interpret:
         from raytpu.kernels import gradkernel
         bvh = None
@@ -456,7 +457,8 @@ def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size,
             from raytpu.bvh import BVH
             bvh = BVH(nodes=nodes, perm=perm, leaf_size=leaf_size)
         _, ds, dc = gradkernel.render_pallas_vjp(
-            scene, cam, cfg, ct, interpret=False, bvh=bvh, vis_w=vis_w)
+            scene, cam, cfg, ct, interpret=False, bvh=bvh, vis_w=vis_w,
+            img=img)
     else:
         ds, dc = _golden_bwd(cfg, (scene, cam), ct, vis_w)
     return (ds, dc, jax.tree.map(jnp.zeros_like, nodes),

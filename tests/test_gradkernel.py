@@ -56,6 +56,31 @@ def test_defocus_parallel():
            dict(aperture=0.2, focus_dist=10.0), worst_allowed=5e-4)
 
 
+def test_pass1_elision_bit_matches():
+    """img= supplied + parallel RNG elides the kernel's PASS-1 forward;
+    the gradients must be BIT-identical to the two-pass kernel (same
+    seeds by fold_in, same PASS-2 math; only the redundant forward and
+    the idx-replay scheme drop out)."""
+    cfg = RenderConfig(width=64, height=16, spp=2, depth=3,
+                       rng_mode="parallel")
+    scene = raytpu.test_world()
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect)
+    img_fwd = raytpu.render(scene, cam, cfg, backend="pallas")
+    ct = 2.0 * (img_fwd - 0.25) / img_fwd.size
+    img0, ds0, dc0 = gradkernel.render_pallas_vjp(scene, cam, cfg, ct)
+    img1, ds1, dc1 = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
+                                                  img=img_fwd)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    for k in ("center", "radius", "albedo", "mat_param"):
+        np.testing.assert_array_equal(np.array(getattr(ds0, k)),
+                                      np.array(getattr(ds1, k)), err_msg=k)
+    for k in ("origin", "horizontal", "vertical", "lower_left",
+              "u", "v", "lens_radius"):
+        np.testing.assert_array_equal(np.array(getattr(dc0, k)),
+                                      np.array(getattr(dc1, k)), err_msg=k)
+
+
 def test_multi_tile_accumulation():
     """Grid > 1 tile in both dims: the scratch accumulator must span
     every grid step."""
