@@ -160,9 +160,18 @@ def bench_config4(extra):
 
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
+    # parallel RNG for the VJP: per-sample fold_in seeds let the fused
+    # kernel elide its PASS-1 forward (the custom vjp hands it the image
+    # it just rendered), cutting one closest-hit sweep from backward.
+    # cfg_best is that mode; time its megakernel forward too so the
+    # bwd/fwd ratio divides same-RNG-mode numbers.
+    fwd_p = _batch_frames(lambda s, c: jnp.sum(
+        render(s, c, cfg_best, backend="pallas", bvh=bvh64)), n_frames=2)
+    t_fwd_p = _time_calls(fwd_p, scene, cfg.aspect) / 2
+
     def fwdbwd_frame(s, c):
         def loss_fn(s, c):
-            img = render(s, c, cfg, backend="pallas", bvh=bvh64)
+            img = render(s, c, cfg_best, backend="pallas", bvh=bvh64)
             return jnp.mean((img - target) ** 2)
         g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
         return (jnp.sum(g[0].center) + jnp.sum(g[0].albedo)
@@ -172,9 +181,8 @@ def bench_config4(extra):
     t_fb = _time_calls(fb, scene, cfg.aspect, iters=2)
     extra["config4_fwdbwd_rays_per_sec"] = round(rays / t_fb)
     extra["config4_fwdbwd_ms"] = round(t_fb * 1e3, 1)
-    extra["config4_bwd_over_fwd"] = round(
-        (t_fb - extra["config4_fwd_megakernel_ms"] / 1e3)
-        / (extra["config4_fwd_megakernel_ms"] / 1e3), 2)
+    extra["config4_fwd_parallel_ms"] = round(t_fwd_p * 1e3, 1)
+    extra["config4_bwd_over_fwd"] = round((t_fb - t_fwd_p) / t_fwd_p, 2)
 
 
 def bench_refv2(extra):

@@ -77,7 +77,7 @@ sweep("c4", scene4, bvh4, cfg4, [
 ])
 
 print("== REFERENCE_V2 (1024x576 60spp depth50) ==", flush=True)
-cfgv2 = REFERENCE_V2._replace(rng_mode="parallel")
+cfgv2 = REFERENCE_V2.replace(rng_mode="parallel")
 scene2 = raytpu.random_world()
 bvh2 = bvh_mod.build_bvh(scene2, leaf_size=32)
 sweep("v2", scene2, bvh2, cfgv2, [
