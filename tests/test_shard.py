@@ -155,6 +155,35 @@ def test_pallas_train_step_matches_reference_grads():
         assert np.abs(got - want).max() / scale < 5e-3, k
 
 
+def test_pallas_train_step_parallel_rng_elision():
+    """Parallel-RNG sharded train step: the fused VJP receives the slab
+    forward image (PASS-1 elision) with row0-offset pixel seeds — the
+    psum'd gradients must match single-device autodiff of the golden
+    renderer in the same RNG mode."""
+    cfg = RenderConfig(width=32, height=16, spp=2, depth=2,
+                       rng_mode="parallel")
+    scene_true, cam = _scene_cam()
+    target = golden.render_golden(scene_true, cam, cfg)
+    scene = scene_true._replace(
+        albedo=scene_true.albedo.at[1].set(jnp.array([0.3, 0.6, 0.5])))
+
+    mesh = shard.make_mesh(jax.devices()[:4])
+    step = shard.make_train_step_pallas(cfg, mesh, lr=1.0)
+    s2, c2, loss = step(scene, cam, target)
+    assert np.isfinite(float(loss))
+
+    def loss_fn(s, c):
+        img = golden.render_golden(s, c, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    g_ref = jax.grad(loss_fn, argnums=0, allow_int=True)(scene, cam)
+    for k in ("center", "radius", "albedo", "mat_param"):
+        got = np.asarray(getattr(scene, k)) - np.asarray(getattr(s2, k))
+        want = np.asarray(getattr(g_ref, k))
+        scale = max(np.abs(want).max(), 1e-5)
+        assert np.abs(got - want).max() / scale < 5e-3, k
+
+
 def test_sharded_wavefront_matches_golden_across_mesh_sizes():
     """Row-slab wavefront sharding: each device runs its own sorted
     wavefront; absolute pixel seeds/keys make the frame bit-identical
