@@ -699,6 +699,114 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
     return body
 
 
+def make_gen_ray(cam_ref, fx, fy, inv_w, inv_h):
+    """Jitter + raygen factory -> ``gen_ray(sd) -> (o3, d3, sd')``
+    (golden: camera.get_ray; v1 defocus Shader_RT.fx:288).  ``cam_ref``
+    is the SMEM camera pack (_pack_camera layout); ``fx, fy`` are the
+    lanes' absolute pixel coords as f32.  Shared op-for-op by the
+    megakernel and the refill-wavefront segment kernel (CLAUDE.md
+    lockstep rule)."""
+    def cam3(i):
+        return cam_ref[i], cam_ref[i + 1], cam_ref[i + 2]
+
+    c_ox, c_oy, c_oz = cam3(0)        # origin
+    c_hx, c_hy, c_hz = cam3(3)        # horizontal
+    c_vx, c_vy, c_vz = cam3(6)        # vertical
+    c_lx, c_ly, c_lz = cam3(9)        # lower_left
+    c_ux, c_uy, c_uz = cam3(12)       # u basis
+    c_wx, c_wy, c_wz = cam3(15)       # v basis
+    lens_r = cam_ref[18]
+    defocus = lens_r > 0
+
+    def gen_ray(sd):
+        (j1a, _), sd = rng.hash2(sd)
+        (_, j2b), sd = rng.hash2(sd)
+        u = (fx + j1a * 1.1) * inv_w
+        v = (fy + j2b * 1.1) * inv_h
+        (ldx, ldy), sd_lens = rng.random_in_unit_disk(sd)
+        sd = jnp.where(defocus, sd_lens, sd)
+        rdx_l = lens_r * ldx
+        rdy_l = lens_r * ldy
+        offx = jnp.where(defocus, c_ux * rdx_l + c_wx * rdy_l, 0.0)
+        offy = jnp.where(defocus, c_uy * rdx_l + c_wy * rdy_l, 0.0)
+        offz = jnp.where(defocus, c_uz * rdx_l + c_wz * rdy_l, 0.0)
+        ox = c_ox + offx
+        oy = c_oy + offy
+        oz = c_oz + offz
+        dx = c_lx + u * c_hx + v * c_vx - ox
+        dy = c_ly + u * c_hy + v * c_vy - oy
+        dz = c_lz + u * c_hz + v * c_vz - oz
+        return ox, oy, oz, dx, dy, dz, sd
+
+    return gen_ray
+
+
+def make_refill_step(bounce, gen_ray, seed0, dyn_depth_f, dyn_spp_f,
+                     parallel, sample_base, sample_stride: int = 1):
+    """Persistent-sample-refill step factory -> ``body(st) -> st`` over
+    the 19-element per-lane state
+
+    ``(ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb, alive_f, sd,
+       s_pl, d_pl, ar, ag, ab)``
+
+    — one bounce, then every lane whose sample just terminated
+    (miss/absorb/depth cap) folds its radiance into the (ar, ag, ab)
+    accumulators and respawns its pixel's NEXT sample in-register.
+    ``sample_base``/``sample_stride``: a respawning lane's parallel-RNG
+    stream is ``fold_in(seed0, s * stride + base)`` — the megakernel
+    passes (dyn_s0, 1); the refill wavefront passes (its per-lane
+    sample-slot index, spp_batch).  Shared op-for-op by the megakernel
+    and the refill-wavefront segment kernel (CLAUDE.md lockstep
+    rule)."""
+    stride = jnp.uint32(sample_stride)
+
+    def body(st):
+        (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+         alive_f, sd, s_pl, d_pl, ar, ag, ab) = st
+        was = alive_f > 0
+        bst = bounce((jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                      cr, cg, cb, rr, rg, rb, alive_f, sd))
+        (_, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+         alive_f, sd) = bst
+        d_pl = jnp.where(was, d_pl + 1.0, d_pl)
+        fin = was & ((alive_f <= 0) | (d_pl >= dyn_depth_f))
+        s_next = s_pl + 1.0
+        more = fin & (s_next < dyn_spp_f)
+        ar = jnp.where(fin, ar + rr, ar)
+        ag = jnp.where(fin, ag + rg, ag)
+        ab = jnp.where(fin, ab + rb, ab)
+        if parallel:
+            # per-sample stream: re-fold from the pixel seed
+            sd_r = rng.fold_in(
+                seed0, s_next.astype(jnp.int32)
+                .astype(jnp.uint32) * stride + sample_base)
+        else:
+            # sequential chain continues from the lane's seed
+            sd_r = sd
+        nox, noy, noz, ndx, ndy, ndz, sd_n = gen_ray(sd_r)
+        ox = jnp.where(more, nox, ox)
+        oy = jnp.where(more, noy, oy)
+        oz = jnp.where(more, noz, oz)
+        dx = jnp.where(more, ndx, dx)
+        dy = jnp.where(more, ndy, dy)
+        dz = jnp.where(more, ndz, dz)
+        cr = jnp.where(more, 1.0, cr)
+        cg = jnp.where(more, 1.0, cg)
+        cb = jnp.where(more, 1.0, cb)
+        rr = jnp.where(fin, 0.0, rr)
+        rg = jnp.where(fin, 0.0, rg)
+        rb = jnp.where(fin, 0.0, rb)
+        sd = jnp.where(more, sd_n, sd)
+        s_pl = jnp.where(fin, s_next, s_pl)
+        d_pl = jnp.where(more, 0.0, d_pl)
+        alive_f = jnp.where(
+            fin, jnp.where(more, 1.0, 0.0), alive_f)
+        return (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+                alive_f, sd, s_pl, d_pl, ar, ag, ab)
+
+    return body
+
+
 def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                  carry_state: bool = False, block_w: int = _TILE_W,
                  static_leaf: int | None = None,
@@ -777,18 +885,6 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
         fx = px.astype(jnp.float32)
         fy = py.astype(jnp.float32)
 
-        # camera scalars (packed by render_pallas)
-        def cam3(i):
-            return cam_ref[i], cam_ref[i + 1], cam_ref[i + 2]
-
-        c_ox, c_oy, c_oz = cam3(0)        # origin
-        c_hx, c_hy, c_hz = cam3(3)        # horizontal
-        c_vx, c_vy, c_vz = cam3(6)        # vertical
-        c_lx, c_ly, c_lz = cam3(9)        # lower_left
-        c_ux, c_uy, c_uz = cam3(12)       # u basis
-        c_wx, c_wy, c_wz = cam3(15)       # v basis
-        lens_r = cam_ref[18]
-        defocus = lens_r > 0
         # runtime trip counts (SMEM scalars, cam pack slots 19-21): static
         # Python bounds would let Mosaic fully unroll spp x depth x spheres
         # and explode compile time
@@ -812,28 +908,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
         bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes,
                                   t_min, cfg.scatter_mode, static_leaf,
                                   flat_leaves, unroll, dense, flat_at)
-
-        def gen_ray(sd):
-            """Jitter + raygen -> ray + advanced seed (golden:
-            camera.get_ray; v1 defocus Shader_RT.fx:288)."""
-            (j1a, _), sd = rng.hash2(sd)
-            (_, j2b), sd = rng.hash2(sd)
-            u = (fx + j1a * 1.1) * inv_w
-            v = (fy + j2b * 1.1) * inv_h
-            (ldx, ldy), sd_lens = rng.random_in_unit_disk(sd)
-            sd = jnp.where(defocus, sd_lens, sd)
-            rdx_l = lens_r * ldx
-            rdy_l = lens_r * ldy
-            offx = jnp.where(defocus, c_ux * rdx_l + c_wx * rdy_l, 0.0)
-            offy = jnp.where(defocus, c_uy * rdx_l + c_wy * rdy_l, 0.0)
-            offz = jnp.where(defocus, c_uz * rdx_l + c_wz * rdy_l, 0.0)
-            ox = c_ox + offx
-            oy = c_oy + offy
-            oz = c_oz + offz
-            dx = c_lx + u * c_hx + v * c_vx - ox
-            dy = c_ly + u * c_hy + v * c_vy - oy
-            dz = c_lz + u * c_hz + v * c_vz - oz
-            return ox, oy, oz, dx, dy, dz, sd
+        gen_ray = make_gen_ray(cam_ref, fx, fy, inv_w, inv_h)
 
         zero = jnp.zeros(shape, jnp.float32)
         one = zero + 1.0
@@ -898,49 +973,8 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
             def cond(st):
                 return jnp.max(st[12]) > 0
 
-            def body(st):
-                (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
-                 alive_f, sd, s_pl, d_pl, ar, ag, ab) = st
-                was = alive_f > 0
-                bst = bounce((jnp.int32(0), ox, oy, oz, dx, dy, dz,
-                              cr, cg, cb, rr, rg, rb, alive_f, sd))
-                (_, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
-                 alive_f, sd) = bst
-                d_pl = jnp.where(was, d_pl + 1.0, d_pl)
-                fin = was & ((alive_f <= 0) | (d_pl >= dyn_depth_f))
-                s_next = s_pl + 1.0
-                more = fin & (s_next < dyn_spp_f)
-                ar = jnp.where(fin, ar + rr, ar)
-                ag = jnp.where(fin, ag + rg, ag)
-                ab = jnp.where(fin, ab + rb, ab)
-                if parallel:
-                    # per-sample stream: re-fold from the pixel seed
-                    sd_r = rng.fold_in(
-                        seed0, s_next.astype(jnp.int32)
-                        .astype(jnp.uint32) + dyn_s0)
-                else:
-                    # sequential chain continues from the lane's seed
-                    sd_r = sd
-                nox, noy, noz, ndx, ndy, ndz, sd_n = gen_ray(sd_r)
-                ox = jnp.where(more, nox, ox)
-                oy = jnp.where(more, noy, oy)
-                oz = jnp.where(more, noz, oz)
-                dx = jnp.where(more, ndx, dx)
-                dy = jnp.where(more, ndy, dy)
-                dz = jnp.where(more, ndz, dz)
-                cr = jnp.where(more, 1.0, cr)
-                cg = jnp.where(more, 1.0, cg)
-                cb = jnp.where(more, 1.0, cb)
-                rr = jnp.where(fin, 0.0, rr)
-                rg = jnp.where(fin, 0.0, rg)
-                rb = jnp.where(fin, 0.0, rb)
-                sd = jnp.where(more, sd_n, sd)
-                s_pl = jnp.where(fin, s_next, s_pl)
-                d_pl = jnp.where(more, 0.0, d_pl)
-                alive_f = jnp.where(
-                    fin, jnp.where(more, 1.0, 0.0), alive_f)
-                return (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
-                        alive_f, sd, s_pl, d_pl, ar, ag, ab)
+            body = make_refill_step(bounce, gen_ray, seed0, dyn_depth_f,
+                                    dyn_spp_f, parallel, dyn_s0)
 
             st = (iox, ioy, ioz, idx_, idy, idz, one, one, one,
                   zero, zero, zero, one, sd_i, zero, zero, *acc0)

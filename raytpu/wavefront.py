@@ -56,7 +56,8 @@ from raytpu.camera import Camera, get_ray
 from raytpu.config import RenderConfig
 from raytpu.scene import Scene
 from raytpu.kernels.megakernel import (
-    _TILE_H, _TILE_W, make_bounce_body, _pack_scene, _to_gamma,
+    _TILE_H, _TILE_W, make_bounce_body, make_gen_ray, make_refill_step,
+    _pack_camera, _pack_scene, _to_gamma,
 )
 
 _BLOCK = 32            # primary rays are laid out in 32x32 pixel blocks
@@ -135,23 +136,145 @@ def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
                 o[:, :] = v
             outs[13][:, :] = pltpu.bitcast(sd, jnp.float32)
 
-            # sort key: direction octant MAJOR, then quantized origin
-            # cell (32 x 8 x 32 over the scene bbox; scal_ref[3:9] =
-            # lo.xyz, bins/extent.xyz).  Octant-major matters: with the
-            # octant in the low bits a sorted tile mixes all 8 direction
-            # cones and the tile-coherent BVH walk culls nothing.
-            qx = jnp.clip(((ox - scal_ref[3]) * scal_ref[6])
-                          .astype(jnp.int32), 0, _QBITS_XZ - 1)
-            qy = jnp.clip(((oy - scal_ref[4]) * scal_ref[7])
-                          .astype(jnp.int32), 0, _QBITS_Y - 1)
-            qz = jnp.clip(((oz - scal_ref[5]) * scal_ref[8])
-                          .astype(jnp.int32), 0, _QBITS_XZ - 1)
-            octant = (jnp.where(dx < 0, 4, 0) + jnp.where(dy < 0, 2, 0)
-                      + jnp.where(dz < 0, 1, 0))
-            cell = (((octant * _QBITS_XZ + qx) * _QBITS_XZ + qz)
-                    * _QBITS_Y + qy)
-            key_ref[:, :] = jnp.where(al > 0, cell.astype(jnp.float32),
-                                      _DEAD_KEY)
+            key_ref[:, :] = jnp.where(
+                al > 0, _cell_key(scal_ref, ox, oy, oz, dx, dy, dz),
+                _DEAD_KEY)
+
+    return kernel
+
+
+def _cell_key(scal_ref, ox, oy, oz, dx, dy, dz):
+    """Sort key: direction octant MAJOR, then quantized origin cell
+    (32 x 8 x 32 over the scene bbox; scal_ref[3:9] = lo.xyz,
+    bins/extent.xyz).  Octant-major matters: with the octant in the low
+    bits a sorted tile mixes all 8 direction cones and the tile
+    -coherent BVH walk culls nothing."""
+    qx = jnp.clip(((ox - scal_ref[3]) * scal_ref[6])
+                  .astype(jnp.int32), 0, _QBITS_XZ - 1)
+    qy = jnp.clip(((oy - scal_ref[4]) * scal_ref[7])
+                  .astype(jnp.int32), 0, _QBITS_Y - 1)
+    qz = jnp.clip(((oz - scal_ref[5]) * scal_ref[8])
+                  .astype(jnp.int32), 0, _QBITS_XZ - 1)
+    octant = (jnp.where(dx < 0, 4, 0) + jnp.where(dy < 0, 2, 0)
+              + jnp.where(dz < 0, 1, 0))
+    cell = (((octant * _QBITS_XZ + qx) * _QBITS_XZ + qz)
+            * _QBITS_Y + qy)
+    return cell.astype(jnp.float32)
+
+
+# fresh (not-yet-bounced) primaries sort ABOVE all bounce cells, keyed
+# by direction — primary directions map 1:1 to pixels, so this groups
+# respawns by pixel neighborhood
+_PRIMARY_BASE = np.float32(1 << 20)
+_QDIR = 64
+
+
+def _make_refill_segment_kernel(n_spheres: int, n_nodes: int, t_min,
+                                rows, B: int, inv_w, inv_h,
+                                scatter_mode: str = "v2",
+                                static_leaf: int | None = None,
+                                flat_leaves: bool = False,
+                                dense_pad: int | None = None,
+                                flat_at_pad: int | None = None):
+    """Persistent-refill segment kernel: run up to ``n_bounces`` bounces
+    over one tile of consecutive ray slots with IN-KERNEL sample respawn
+    (megakernel.make_refill_step — a lane whose sample terminates
+    immediately starts its pixel's next sample), then emit the next sort
+    key.  Lanes are dead only when their spp budget is exhausted, so
+    tile occupancy stays ~100% while the sort boundaries outside keep
+    tiles leaf-coherent — the refill megakernel's utilization plus the
+    sorted wavefront's coherence.
+
+    Ride planes (sorted outside, in/out):
+      key, pid, s_pl, d_pl, o3, d3, thr3, rad3, sd, acc3   (20)
+    Aux planes (recomputed from pid after each sort, in only):
+      px, py, bidx                                          (3)
+    """
+
+    def kernel(cam_ref, scal_ref, sc_ref, *rest):
+        mx_ref = at_ref = fat_ref = None
+        if dense_pad:
+            mx_ref, at_ref, *rest = rest
+        if flat_at_pad:
+            fat_ref, *rest = rest
+        nd_ref = None
+        if n_nodes:
+            nd_ref, *rest = rest
+        ins = rest[:23]
+        outs = rest[23:43]
+        key_in = ins[0][:, :]
+        anywork = jnp.min(key_in) < _DEAD_KEY
+
+        @pl.when(jnp.logical_not(anywork))
+        def _():
+            for o, i in zip(outs, ins):
+                o[:, :] = i[:, :]
+
+        @pl.when(anywork)
+        def _():
+            dyn_nsph = scal_ref[0].astype(jnp.int32)
+            dyn_nodes = scal_ref[1].astype(jnp.int32)
+            dyn_bounces = scal_ref[2].astype(jnp.int32)
+            dyn_depth_f = cam_ref[19]
+            dyn_spp_f = cam_ref[20]     # spp per SLOT (cfg.spp / B)
+            (_, pidf, s_pl, d_pl, ox, oy, oz, dx, dy, dz,
+             cr, cg, cb, rr, rg, rb, sdf, ar, ag, ab,
+             fx, fy, bidxf) = (r[:, :] for r in ins)
+            sd = pltpu.bitcast(sdf, jnp.uint32)
+            alive_f = jnp.where(key_in < _DEAD_KEY, 1.0, 0.0)
+            seed0 = rng.pixel_seed(
+                fx.astype(jnp.int32).astype(jnp.uint32),
+                fy.astype(jnp.int32).astype(jnp.uint32))
+            bidx = bidxf.astype(jnp.int32).astype(jnp.uint32)
+
+            from raytpu.kernels.megakernel import _FLAT_UNROLL_MAX
+            unroll = (n_nodes if flat_leaves
+                      and n_nodes <= _FLAT_UNROLL_MAX else None)
+            dense = ((mx_ref, at_ref, dense_pad) if dense_pad else None)
+            flat_at = ((fat_ref, flat_at_pad) if flat_at_pad else None)
+            bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph,
+                                      dyn_nodes, t_min, scatter_mode,
+                                      static_leaf, flat_leaves, unroll,
+                                      dense, flat_at)
+            gen_ray = make_gen_ray(cam_ref, fx, fy, inv_w, inv_h)
+            step = make_refill_step(bounce, gen_ray, seed0, dyn_depth_f,
+                                    dyn_spp_f, True, bidx,
+                                    sample_stride=B)
+
+            def cond(st):
+                return (st[0] < dyn_bounces) & (jnp.max(st[13]) > 0)
+
+            def body(st):
+                return (st[0] + 1, *step(st[1:]))
+
+            st = (jnp.int32(0), ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                  rr, rg, rb, alive_f, sd, s_pl, d_pl, ar, ag, ab)
+            st = jax.lax.while_loop(cond, body, st)
+            (_, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+             alive_f, sd, s_pl, d_pl, ar, ag, ab) = st
+
+            # key: exhausted -> DEAD tail; fresh respawns (d_pl == 0,
+            # about to cast their primary) -> direction-quantized
+            # primary band; mid-path rays -> position/octant cell
+            inv = jax.lax.rsqrt(jnp.maximum(
+                dx * dx + dy * dy + dz * dz, np.float32(1e-20)))
+            qdx = jnp.clip(((dx * inv + 1.0) * np.float32(_QDIR / 2))
+                           .astype(jnp.int32), 0, _QDIR - 1)
+            qdy = jnp.clip(((dy * inv + 1.0) * np.float32(_QDIR / 2))
+                           .astype(jnp.int32), 0, _QDIR - 1)
+            pkey = _PRIMARY_BASE + (qdx * _QDIR + qdy).astype(jnp.float32)
+            key = jnp.where(
+                alive_f > 0,
+                jnp.where(d_pl == 0, pkey,
+                          _cell_key(scal_ref, ox, oy, oz, dx, dy, dz)),
+                _DEAD_KEY)
+
+            for o, v in zip(outs, (
+                    key, pidf, s_pl, d_pl, ox, oy, oz, dx, dy, dz,
+                    cr, cg, cb, rr, rg, rb, None, ar, ag, ab)):
+                if v is not None:
+                    o[:, :] = v
+            outs[16][:, :] = pltpu.bitcast(sd, jnp.float32)
 
     return kernel
 
@@ -204,7 +327,7 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                            segments, tile_rows, leaf_size=None,
                            sort_every: int = 1, row0=0, rows=None,
                            spp_batch: int = 1, flat=None,
-                           sort_chunk: int = 0):
+                           sort_chunk: int = 0, refill: int = 0):
     """Render rows [row0, row0+rows) of the cfg-sized frame as one
     wavefront.  ``row0`` may be traced (shard_map axis offset); RNG
     seeds and sort keys derive from ABSOLUTE pixel coords, so a sharded
@@ -333,6 +456,104 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
 
     pid0 = jnp.arange(R, dtype=jnp.int32)
 
+    if refill:
+        # persistent-refill wavefront: ONE pass over all samples with
+        # in-kernel respawn (lanes stay ~100% occupied) and a chunked
+        # sort every ``refill`` bounces (tiles stay leaf-coherent) —
+        # the refill megakernel's utilization plus the sorted
+        # wavefront's coherence.  Values are BIT-identical to the
+        # standard wavefront (same per-slot sample partition, same
+        # per-sample math and accumulation order; only the schedule
+        # changes).
+        if not parallel:
+            raise ValueError(
+                "refill wavefront needs rng_mode='parallel' (respawn "
+                "re-derives per-sample seeds by fold_in)")
+        spp_slot = cfg.spp // B
+        kernel_r = _make_refill_segment_kernel(
+            n, m, t_min, trows, B, inv_w, inv_h, cfg.scatter_mode,
+            leaf_size, use_flat, n_pad, fat_pad)
+        cam_pack = _pack_camera(cam, cfg, n, m, row0, spp=spp_slot)
+
+        def seg_call_refill(ride, aux):
+            scal = jnp.asarray(
+                [n, m, refill, lo[0], lo[1], lo[2],
+                 scale[0], scale[1], scale[2]], jnp.float32)
+            operands = [cam_pack, scal, packed]
+            in_specs = [smem, smem, smem]
+            if dense_ops is not None:
+                operands += list(dense_ops)
+                in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            if fat_ops is not None:
+                operands += list(fat_ops)
+                in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
+            if m:
+                operands.append(nodes_t)
+                in_specs.append(smem)
+            operands += [p.reshape(rows, _TILE_W)
+                         for p in (*ride, *aux)]
+            in_specs += [plane] * 23
+            outs = pl.pallas_call(
+                kernel_r,
+                grid=grid,
+                out_shape=tuple([pshape] * 20),
+                in_specs=in_specs,
+                out_specs=tuple([plane] * 20),
+                interpret=interpret,
+            )(*operands)
+            return [o.reshape(R) for o in outs]
+
+        # initial spawn: sample 0 for every slot (same seed/jitter
+        # derivation as the standard wavefront's first wave)
+        base0 = pid0 // B if B > 1 else pid0
+        px0, py0 = _decode_pid(base0, wp)
+        py0 = py0 + row0
+        valid0 = (px0 < w) & (py0 < cfg.height)
+        bidx0 = pid0 % B if B > 1 else jnp.zeros_like(pid0)
+        sd = rng.fold_in(
+            rng.pixel_seed(px0.astype(jnp.uint32),
+                           py0.astype(jnp.uint32)),
+            bidx0.astype(jnp.uint32))
+        fx0 = px0.astype(jnp.float32)
+        fy0 = py0.astype(jnp.float32)
+        (j1a, _), sd = rng.hash2(sd)
+        (_, j2b), sd = rng.hash2(sd)
+        u0 = (fx0 + j1a * 1.1) * inv_w
+        v0 = (fy0 + j2b * 1.1) * inv_h
+        (ox0, oy0, oz0), (dx0, dy0, dz0), sd = get_ray(cam, u0, v0, sd)
+        one = jnp.ones((R,), jnp.float32)
+        zero = jnp.zeros((R,), jnp.float32)
+        key0 = jnp.where(valid0, 0.0, _DEAD_KEY)
+        ride0 = (key0, pid0.astype(jnp.float32), zero, zero,
+                 ox0, oy0, oz0, dx0, dy0, dz0, one, one, one,
+                 zero, zero, zero,
+                 jax.lax.bitcast_convert_type(sd, jnp.float32),
+                 zero, zero, zero)
+
+        def rcond(ride):
+            return jnp.min(ride[0]) < _DEAD_KEY
+
+        def rbody(ride):
+            ride = _sort_ops(list(ride))
+            pid_i = ride[1].astype(jnp.int32)
+            base = pid_i // B if B > 1 else pid_i
+            pxl, pyl = _decode_pid(base, wp)
+            pyl = pyl + row0
+            bidxl = pid_i % B if B > 1 else jnp.zeros_like(pid_i)
+            aux = (pxl.astype(jnp.float32), pyl.astype(jnp.float32),
+                   bidxl.astype(jnp.float32))
+            return tuple(seg_call_refill(ride, aux))
+
+        ride = jax.lax.while_loop(rcond, rbody, ride0)
+        pid = ride[1].astype(jnp.int32)
+        lin = jnp.zeros((R, 3), jnp.float32).at[pid].set(
+            jnp.stack([ride[17], ride[18], ride[19]], axis=-1),
+            unique_indices=True)
+        if B > 1:
+            lin = lin.reshape(hp * wp, B, 3).sum(axis=1)
+        img = _block_to_image(lin, hp, wp)[:h, :w]
+        return _to_gamma(img * np.float32(1.0 / cfg.spp), cfg.gamma)
+
     def wave(carry, s):
         pid, seed_carry, rad_r, rad_g, rad_b = carry
         # pid = original slot id: pixel-block slot major, sample minor
@@ -420,30 +641,30 @@ def default_segments(depth: int) -> tuple[int, ...]:
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def _render_wavefront(scene, cam, nodes, perm, flat, cfg, interpret,
                       segments, tile_rows, vis_w, leaf_size, sort_every,
-                      spp_batch, sort_chunk):
+                      spp_batch, sort_chunk, refill):
     return _render_wavefront_impl(scene, cam, nodes, perm, cfg,
                                   interpret, segments, tile_rows,
                                   leaf_size, sort_every,
                                   spp_batch=spp_batch, flat=flat,
-                                  sort_chunk=sort_chunk)
+                                  sort_chunk=sort_chunk, refill=refill)
 
 
 def _wf_fwd(scene, cam, nodes, perm, flat, cfg, interpret, segments,
             tile_rows, vis_w, leaf_size, sort_every, spp_batch,
-            sort_chunk):
+            sort_chunk, refill):
     img = _render_wavefront_impl(scene, cam, nodes, perm, cfg,
                                  interpret, segments, tile_rows,
                                  leaf_size, sort_every,
                                  spp_batch=spp_batch, flat=flat,
-                                 sort_chunk=sort_chunk)
+                                 sort_chunk=sort_chunk, refill=refill)
     return img, (scene, cam, nodes, perm, flat, img)
 
 
 def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size,
-            sort_every, spp_batch, sort_chunk, res, ct):
+            sort_every, spp_batch, sort_chunk, refill, res, ct):
     # backward: the fused Pallas VJP kernel (gradkernel.py) — shared
     # with the megakernel path; the wavefront is a forward-schedule
     # change only, so the same per-pixel reverse sweep applies.  The
@@ -476,7 +697,8 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
                      vis_w: float = 0.0,
                      sort_every: int = 1,
                      spp_batch: int = 1,
-                     sort_chunk: int = 65536) -> jnp.ndarray:
+                     sort_chunk: int = 65536,
+                     refill: int = 0) -> jnp.ndarray:
     """Full-frame sorted-wavefront render -> (H, W, 3) f32 image.
 
     Bit-identical (to 1 ulp; see tests/test_wavefront.py) to
@@ -492,7 +714,10 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
     ``sort_chunk`` caps the rays per independent sort chunk (the image
     is permutation-invariant, so chunked sorting only trades a few
     chunk-boundary tiles' coherence for a near-linear sort;
-    0 = monolithic).
+    0 = monolithic).  ``refill = k`` switches to the PERSISTENT-REFILL
+    wavefront (parallel RNG only): one pass over all samples with
+    in-kernel respawn and a sort every k bounces — ``segments`` is then
+    ignored.
     Differentiable: the backward pass is the fused VJP kernel
     (``vis_w > 0`` adds silhouette gradients).
     """
@@ -511,4 +736,4 @@ def render_wavefront(scene: Scene, cam: Camera, cfg: RenderConfig,
                              float(vis_w),
                              None if bvh is None else bvh.leaf_size,
                              int(sort_every), int(spp_batch),
-                             int(sort_chunk))
+                             int(sort_chunk), int(refill))

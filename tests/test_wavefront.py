@@ -91,6 +91,63 @@ def test_chunked_sort_matches_golden():
     np.testing.assert_array_equal(img, mono)
 
 
+def test_refill_matches_std_depth1():
+    """Persistent-refill wavefront is op-for-op the standard wavefront
+    (same per-slot sample partition, per-sample math, accumulation
+    order).  The two schedules trace to structurally different programs
+    and XLA's FMA contraction inside e.g. the sky lerp can round 1 ulp
+    apart for BIT-IDENTICAL inputs (measured: same d, in-kernel sky
+    0x3f432403 vs 0x3f432404 outside — the TODO.md adjoint-note class),
+    so depth 1 (no path amplification) asserts the 1-ulp bound."""
+    cfg = RenderConfig(width=64, height=32, spp=3, depth=1,
+                       rng_mode="parallel")
+    scene = raytpu.random_world(seed=3, half_extent=3)
+    cam = _cam(cfg.aspect)
+    b = build_bvh(scene)
+    for kw in (dict(), dict(bvh=b), dict(bvh=b, spp_batch=3),
+               dict(bvh=b, sort_chunk=1024)):
+        std = np.asarray(render_wavefront(
+            scene, cam, cfg, **{k: v for k, v in kw.items()
+                                if k != 'sort_chunk'}))
+        img = np.asarray(render_wavefront(scene, cam, cfg,
+                                          refill=1, **kw))
+        np.testing.assert_allclose(img, std, rtol=0, atol=1e-6,
+                                   err_msg=str(kw))
+        assert (img == std).mean() >= 0.9, kw
+
+
+def test_refill_matches_std_defocus_depth1():
+    """Defocus respawns exercise the in-kernel lens sampling (spp 3 at
+    depth 1 forces two in-kernel respawns per lane)."""
+    cfg = RenderConfig(width=64, height=32, spp=3, depth=1,
+                       rng_mode="parallel")
+    scene = raytpu.test_world()
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
+                             vfov=20.0, aspect=cfg.aspect,
+                             aperture=0.6, focus_dist=10.0)
+    std = np.asarray(render_wavefront(scene, cam, cfg))
+    img = np.asarray(render_wavefront(scene, cam, cfg, refill=1))
+    np.testing.assert_allclose(img, std, rtol=0, atol=1e-6)
+    assert (img == std).mean() >= 0.9
+
+
+def test_refill_close_under_jit():
+    """Deep refill vs golden: 1-ulp scheduling drift amplifies through
+    bounce chains (a 1-ulp scatter direction moves the next hit), so
+    the deep-config bound is statistical — small absolute drift on a
+    minority of pixels, no outliers, most pixels bit-equal."""
+    cfg = RenderConfig(width=96, height=64, spp=2, depth=6,
+                       rng_mode="parallel")
+    scene = raytpu.random_world(half_extent=3)
+    cam = _cam(cfg.aspect)
+    b = build_bvh(scene)
+    ref = np.asarray(golden.render_golden(scene, cam, cfg))
+    img = np.asarray(render_wavefront(scene, cam, cfg, bvh=b, refill=2))
+    np.testing.assert_allclose(img, ref, rtol=0, atol=2e-3)
+    assert np.abs(img - ref).mean() < 1e-5
+    assert ((img - ref) == 0).mean() > 0.5
+
+
 def test_nonaligned_size_and_depth1():
     cfg = RenderConfig(width=70, height=45, spp=2, depth=1)
     scene = raytpu.test_world()
