@@ -58,6 +58,22 @@ def sweep(label, scene, bvh, cfg, combos):
               f"{rays/t/1e6:5.1f} Mrays/s", flush=True)
 
 
+def sweep_refill(label, scene, bvh, cfg, combos):
+    """(refill_bounces, sort_chunk, spp_batch) combos of the
+    persistent-refill wavefront."""
+    rays = cfg.width * cfg.height * cfg.spp
+    for rf, chunk, sb in combos:
+        @jax.jit
+        def f(s, eps, rf=rf, chunk=chunk, sb=sb):
+            return jnp.sum(render_wavefront(
+                s, cam_i(eps, cfg.aspect), cfg, bvh=bvh, spp_batch=sb,
+                refill=rf, sort_chunk=chunk))
+
+        t = timeit(scene, f)
+        print(f"{label} REFILL k={rf} chunk={chunk//1024}k spp_b={sb}: "
+              f"{t*1e3:7.1f} ms {rays/t/1e6:5.1f} Mrays/s", flush=True)
+
+
 print("== config 4 (800x400 20spp depth12, 500 spheres) ==", flush=True)
 sweep("c4", scene4, bvh4, cfg4, [
     # round-2 best (monolithic one-boundary) as the reference point
@@ -76,6 +92,17 @@ sweep("c4", scene4, bvh4, cfg4, [
     ((1, 1, 1, 9), 65536, 4, 1),
 ])
 
+print("== config 4 persistent-refill wavefront ==", flush=True)
+sweep_refill("c4", scene4, bvh4, cfg4, [
+    (1, 65536, 2),
+    (2, 65536, 2),
+    (3, 65536, 2),
+    (6, 65536, 2),
+    (2, 65536, 1),
+    (2, 65536, 4),
+    (2, 0, 2),       # monolithic sort reference point
+])
+
 print("== REFERENCE_V2 (1024x576 60spp depth50) ==", flush=True)
 cfgv2 = REFERENCE_V2.replace(rng_mode="parallel")
 scene2 = raytpu.random_world()
@@ -85,4 +112,10 @@ sweep("v2", scene2, bvh2, cfgv2, [
     ((3, 9, 38), 65536, 1, 1),
     ((1, 1, 1, 2, 2, 4, 8, 31), 65536, 1, 1),
     ((2, 2, 2, 2, 4, 4, 8, 26), 65536, 2, 1),
+])
+sweep_refill("v2", scene2, bvh2, cfgv2, [
+    (2, 65536, 1),
+    (3, 65536, 1),
+    (3, 65536, 2),
+    (6, 65536, 1),
 ])
