@@ -109,7 +109,8 @@ def cmd_render(args) -> int:
 
     img, stats = profiling.timed(
         lambda: raytpu.render(scene, cam, cfg, backend=args.backend,
-                              bvh=bvh, spp_batch=args.spp_batch),
+                              bvh=bvh, spp_batch=args.spp_batch,
+                              refill=args.refill),
         cfg, label="render")
     io.save_image(args.out, img)
     print(f"wrote {args.out}  "
@@ -212,6 +213,10 @@ def main(argv=None) -> int:
                    help="wavefront backend + --rng-mode parallel: fold "
                         "B samples per pixel into the ray array "
                         "(larger sort groups, faster large scenes)")
+    r.add_argument("--refill", type=int, default=0, metavar="K",
+                   help="wavefront backend + --rng-mode parallel: "
+                        "persistent-refill schedule (in-kernel sample "
+                        "respawn, re-sort every K bounces)")
     r.add_argument("--progressive", type=int, default=0, metavar="BATCH",
                    help="render progressively in BATCH-sample steps")
     r.add_argument("--preview-every", type=int, default=0, metavar="K",

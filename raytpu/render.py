@@ -33,7 +33,8 @@ from raytpu.scene import Scene
 from raytpu import golden
 
 
-def _backend(name: str, bvh=None, spp_batch: int = 1) -> str:
+def _backend(name: str, bvh=None, spp_batch: int = 1,
+             refill: int = 0) -> str:
     if name != "auto":
         return name
     platform = jax.devices()[0].platform
@@ -43,8 +44,10 @@ def _backend(name: str, bvh=None, spp_batch: int = 1) -> str:
             # the persistent-refill megakernel beats the sorted
             # wavefront on every measured config (round-2 sweeps:
             # config 4 33 vs 30, REFERENCE_V2 33 vs 29 Mrays/s), with
-            # or without a BVH; spp folding is a wavefront-only feature
-            return "wavefront" if spp_batch > 1 else "pallas"
+            # or without a BVH; spp folding and persistent-refill
+            # scheduling are wavefront-only features
+            return ("wavefront" if spp_batch > 1 or refill
+                    else "pallas")
         except ImportError:
             return "golden"
     return "golden"
@@ -52,7 +55,7 @@ def _backend(name: str, bvh=None, spp_batch: int = 1) -> str:
 
 def render(scene: Scene, cam: Camera, cfg: RenderConfig,
            backend: str = "auto", bvh=None,
-           spp_batch: int = 1) -> jnp.ndarray:
+           spp_batch: int = 1, refill: int = 0) -> jnp.ndarray:
     """Render -> (H, W, 3) f32 image in [0, 1].
 
     Row 0 is the bottom scanline (v = 0); use :func:`raytpu.io.save_image`
@@ -61,10 +64,14 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
     backend; the golden backend ignores it (it is the brute-force oracle).
     ``spp_batch > 1`` (wavefront backend, parallel RNG mode) folds that
     many samples per pixel into the ray array for larger sort groups.
+    ``refill > 0`` (wavefront backend) selects the persistent-refill
+    wavefront: in-kernel sample respawn with a sort every ``refill``
+    bounces.
     """
-    backend = _backend(backend, bvh, spp_batch)
-    if spp_batch > 1 and backend != "wavefront":
-        raise ValueError("spp_batch > 1 needs the wavefront backend")
+    backend = _backend(backend, bvh, spp_batch, refill)
+    if (spp_batch > 1 or refill) and backend != "wavefront":
+        raise ValueError(
+            "spp_batch > 1 / refill need the wavefront backend")
     if backend == "golden":
         return golden.render_golden(scene, cam, cfg)
     if backend == "pallas":
@@ -73,7 +80,7 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
     if backend == "wavefront":
         from raytpu.wavefront import render_wavefront
         return render_wavefront(scene, cam, cfg, bvh=bvh,
-                                spp_batch=spp_batch)
+                                spp_batch=spp_batch, refill=refill)
     raise ValueError(f"unknown backend: {backend!r}")
 
 

@@ -22,6 +22,17 @@ def test_render_writes_png(tmp_path):
     assert log and log[0]["rays_per_sec"] > 0
 
 
+def test_render_refill_wavefront(tmp_path):
+    out = str(tmp_path / "img.png")
+    rc = cli.main(["render", "--scene", "test", "--width", "48",
+                   "--height", "32", "--spp", "2", "--depth", "2",
+                   "--backend", "wavefront", "--rng-mode", "parallel",
+                   "--refill", "2", "--out", out])
+    assert rc == 0
+    with open(out, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
 def test_render_progressive_checkpoint(tmp_path):
     out = str(tmp_path / "img.png")
     ckpt = str(tmp_path / "ck.npz")
