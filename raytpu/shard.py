@@ -160,7 +160,7 @@ def render_sharded_pallas(scene: Scene, cam: Camera, cfg: RenderConfig, *,
 def render_wavefront_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
                              *, mesh: Mesh, bvh=None, segments=None,
                              sort_every: int = 1, spp_batch: int = 1,
-                             sort_chunk: int = 65536,
+                             sort_chunk: int = 65536, refill: int = 0,
                              interpret: bool | None = None) -> jnp.ndarray:
     """Sorted-wavefront render sharded over ``mesh``: one row slab per
     device, each running its own independent wavefront (sort + segment
@@ -188,7 +188,7 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
             scene, cam, nodes, perm, cfg, interpret, segments,
             None, leaf, int(sort_every), row0=row0, rows=slab,
             spp_batch=int(spp_batch), flat=flat,
-            sort_chunk=int(sort_chunk))
+            sort_chunk=int(sort_chunk), refill=int(refill))
 
     img = jax.jit(jax.shard_map(
         shard_fn,

@@ -155,6 +155,31 @@ def test_pallas_train_step_matches_reference_grads():
         assert np.abs(got - want).max() / scale < 5e-3, k
 
 
+def test_sharded_refill_wavefront_across_mesh_sizes():
+    """Row-slab sharded persistent-refill wavefront: mesh sizes must
+    agree with each other exactly (absolute-coordinate seeds/keys, per
+    -lane math independent of slab membership); vs golden the bound is
+    the refill schedule's compilation-context contraction class (see
+    tests/test_wavefront.py::test_refill_close_under_jit)."""
+    from raytpu import bvh as bvh_mod
+    cfg = RenderConfig(width=40, height=24, spp=2, depth=3,
+                       rng_mode="parallel")
+    scene = raytpu.random_world(seed=3, half_extent=3)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect)
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    b = bvh_mod.build_bvh(scene)
+    imgs = []
+    for nd in (2, 8):
+        mesh = shard.make_mesh(jax.devices()[:nd])
+        got = np.asarray(shard.render_wavefront_sharded(
+            scene, cam, cfg, mesh=mesh, bvh=b, refill=1))
+        np.testing.assert_allclose(got, want, atol=2e-3, rtol=0)
+        assert np.abs(got - want).mean() < 1e-5
+        imgs.append(got)
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
 def test_pallas_train_step_parallel_rng_elision():
     """Parallel-RNG sharded train step: the fused VJP receives the slab
     forward image (PASS-1 elision) with row0-offset pixel seeds — the
