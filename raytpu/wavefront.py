@@ -186,9 +186,16 @@ def _make_refill_segment_kernel(n_spheres: int, n_nodes: int, t_min,
     sorted wavefront's coherence.
 
     Ride planes (sorted outside, in/out):
-      key, pid, s_pl, d_pl, o3, d3, thr3, rad3, sd, acc3   (20)
+      key, pid, sdpk (s_pl*256 + d_pl), o3, d3, thr3, sd, acc3   (16)
     Aux planes (recomputed from pid after each sort, in only):
-      px, py, bidx                                          (3)
+      px, py, bidx                                               (3)
+
+    The current-sample radiance (rr, rg, rb) does NOT ride: a sample's
+    radiance becomes nonzero only at its terminal bounce (miss -> sky),
+    and the refill step folds it into (ar, ag, ab) and zeroes it in
+    that same iteration — so it is identically zero at every round
+    boundary.  s_pl/d_pl pack into one plane (both small ints, exact in
+    f32 far beyond spp*256 + depth).
     """
 
     def kernel(cam_ref, scal_ref, sc_ref, *rest):
@@ -200,14 +207,14 @@ def _make_refill_segment_kernel(n_spheres: int, n_nodes: int, t_min,
         nd_ref = None
         if n_nodes:
             nd_ref, *rest = rest
-        ins = rest[:23]
-        outs = rest[23:43]
+        ins = rest[:19]
+        outs = rest[19:35]
         key_in = ins[0][:, :]
         anywork = jnp.min(key_in) < _DEAD_KEY
 
         @pl.when(jnp.logical_not(anywork))
         def _():
-            for o, i in zip(outs, ins):
+            for o, i in zip(outs, ins[:16]):
                 o[:, :] = i[:, :]
 
         @pl.when(anywork)
@@ -217,9 +224,12 @@ def _make_refill_segment_kernel(n_spheres: int, n_nodes: int, t_min,
             dyn_bounces = scal_ref[2].astype(jnp.int32)
             dyn_depth_f = cam_ref[19]
             dyn_spp_f = cam_ref[20]     # spp per SLOT (cfg.spp / B)
-            (_, pidf, s_pl, d_pl, ox, oy, oz, dx, dy, dz,
-             cr, cg, cb, rr, rg, rb, sdf, ar, ag, ab,
+            (_, pidf, sdpk, ox, oy, oz, dx, dy, dz,
+             cr, cg, cb, sdf, ar, ag, ab,
              fx, fy, bidxf) = (r[:, :] for r in ins)
+            s_pl = jnp.floor(sdpk * np.float32(1.0 / 256.0))
+            d_pl = sdpk - s_pl * 256.0
+            rr = rg = rb = jnp.zeros_like(ox)
             sd = pltpu.bitcast(sdf, jnp.uint32)
             alive_f = jnp.where(key_in < _DEAD_KEY, 1.0, 0.0)
             seed0 = rng.pixel_seed(
@@ -270,11 +280,11 @@ def _make_refill_segment_kernel(n_spheres: int, n_nodes: int, t_min,
                 _DEAD_KEY)
 
             for o, v in zip(outs, (
-                    key, pidf, s_pl, d_pl, ox, oy, oz, dx, dy, dz,
-                    cr, cg, cb, rr, rg, rb, None, ar, ag, ab)):
+                    key, pidf, s_pl * 256.0 + d_pl, ox, oy, oz,
+                    dx, dy, dz, cr, cg, cb, None, ar, ag, ab)):
                 if v is not None:
                     o[:, :] = v
-            outs[16][:, :] = pltpu.bitcast(sd, jnp.float32)
+            outs[12][:, :] = pltpu.bitcast(sd, jnp.float32)
 
     return kernel
 
@@ -492,13 +502,13 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                 in_specs.append(smem)
             operands += [p.reshape(rows, _TILE_W)
                          for p in (*ride, *aux)]
-            in_specs += [plane] * 23
+            in_specs += [plane] * 19
             outs = pl.pallas_call(
                 kernel_r,
                 grid=grid,
-                out_shape=tuple([pshape] * 20),
+                out_shape=tuple([pshape] * 16),
                 in_specs=in_specs,
-                out_specs=tuple([plane] * 20),
+                out_specs=tuple([plane] * 16),
                 interpret=interpret,
             )(*operands)
             return [o.reshape(R) for o in outs]
@@ -524,9 +534,8 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         one = jnp.ones((R,), jnp.float32)
         zero = jnp.zeros((R,), jnp.float32)
         key0 = jnp.where(valid0, 0.0, _DEAD_KEY)
-        ride0 = (key0, pid0.astype(jnp.float32), zero, zero,
+        ride0 = (key0, pid0.astype(jnp.float32), zero,
                  ox0, oy0, oz0, dx0, dy0, dz0, one, one, one,
-                 zero, zero, zero,
                  jax.lax.bitcast_convert_type(sd, jnp.float32),
                  zero, zero, zero)
 
@@ -547,7 +556,7 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         ride = jax.lax.while_loop(rcond, rbody, ride0)
         pid = ride[1].astype(jnp.int32)
         lin = jnp.zeros((R, 3), jnp.float32).at[pid].set(
-            jnp.stack([ride[17], ride[18], ride[19]], axis=-1),
+            jnp.stack([ride[13], ride[14], ride[15]], axis=-1),
             unique_indices=True)
         if B > 1:
             lin = lin.reshape(hp * wp, B, 3).sum(axis=1)
