@@ -79,7 +79,7 @@ def cmd_render(args) -> int:
         if backend == "auto":
             backend = ("pallas" if jax.devices()[0].platform == "tpu"
                        else "golden")
-        if backend == "wavefront":
+        if backend == "wavefront" or args.refill:
             raise SystemExit(
                 "--progressive supports golden/pallas backends")
         last = None

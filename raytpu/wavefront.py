@@ -170,7 +170,7 @@ _QDIR = 64
 
 
 def _make_refill_segment_kernel(n_spheres: int, n_nodes: int, t_min,
-                                rows, B: int, inv_w, inv_h,
+                                B: int, inv_w, inv_h,
                                 scatter_mode: str = "v2",
                                 static_leaf: int | None = None,
                                 flat_leaves: bool = False,
@@ -265,14 +265,18 @@ def _make_refill_segment_kernel(n_spheres: int, n_nodes: int, t_min,
 
             # key: exhausted -> DEAD tail; fresh respawns (d_pl == 0,
             # about to cast their primary) -> direction-quantized
-            # primary band; mid-path rays -> position/octant cell
+            # primary band (z-sign bit disambiguates the +-z hemispheres
+            # so view-down-z cameras don't collapse into one bin);
+            # mid-path rays -> position/octant cell
             inv = jax.lax.rsqrt(jnp.maximum(
                 dx * dx + dy * dy + dz * dz, np.float32(1e-20)))
             qdx = jnp.clip(((dx * inv + 1.0) * np.float32(_QDIR / 2))
                            .astype(jnp.int32), 0, _QDIR - 1)
             qdy = jnp.clip(((dy * inv + 1.0) * np.float32(_QDIR / 2))
                            .astype(jnp.int32), 0, _QDIR - 1)
-            pkey = _PRIMARY_BASE + (qdx * _QDIR + qdy).astype(jnp.float32)
+            sz = jnp.where(dz < 0, 1, 0)
+            pkey = _PRIMARY_BASE + (
+                (sz * _QDIR + qdx) * _QDIR + qdy).astype(jnp.float32)
             key = jnp.where(
                 alive_f > 0,
                 jnp.where(d_pl == 0, pkey,
@@ -410,7 +414,10 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                          memory_space=pltpu.VMEM)
     pshape = jax.ShapeDtypeStruct((rows, _TILE_W), jnp.float32)
 
-    def seg_call(planes, n_bounces):
+    def _hit_ops(n_bounces):
+        """(operands, in_specs) prefix shared by both segment kernels:
+        the scal vector, SMEM scene pack, and the dense/flat/BVH hit
+        -mode operands."""
         scal = jnp.asarray(
             [n, m, n_bounces, lo[0], lo[1], lo[2],
              scale[0], scale[1], scale[2]], jnp.float32)
@@ -425,6 +432,10 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         if m:
             operands.append(nodes_t)
             in_specs.append(smem)
+        return operands, in_specs
+
+    def seg_call(planes, n_bounces):
+        operands, in_specs = _hit_ops(n_bounces)
         operands += [p.reshape(rows, _TILE_W) for p in planes]
         in_specs += [plane] * 14
         outs = pl.pallas_call(
@@ -466,40 +477,45 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
 
     pid0 = jnp.arange(R, dtype=jnp.int32)
 
+    def _jitter_ray(fx, fy, sd):
+        """Per-slot jitter draws + raygen — the host-side twin of the
+        kernel's make_gen_ray (same draws, same 1.1 jitter scale)."""
+        (j1a, _), sd = rng.hash2(sd)
+        (_, j2b), sd = rng.hash2(sd)
+        u = (fx + j1a * 1.1) * inv_w
+        v = (fy + j2b * 1.1) * inv_h
+        return get_ray(cam, u, v, sd)
+
     if refill:
         # persistent-refill wavefront: ONE pass over all samples with
         # in-kernel respawn (lanes stay ~100% occupied) and a chunked
         # sort every ``refill`` bounces (tiles stay leaf-coherent) —
         # the refill megakernel's utilization plus the sorted
-        # wavefront's coherence.  Values are BIT-identical to the
-        # standard wavefront (same per-slot sample partition, same
-        # per-sample math and accumulation order; only the schedule
-        # changes).
+        # wavefront's coherence.  Op-for-op the standard wavefront
+        # (same per-slot sample partition, per-sample math and
+        # accumulation order); compiled outputs may drift ~1 ulp per
+        # bounce from FMA-contraction context differences between the
+        # two schedules (see tests/test_wavefront.py refill tests).
         if not parallel:
             raise ValueError(
                 "refill wavefront needs rng_mode='parallel' (respawn "
                 "re-derives per-sample seeds by fold_in)")
         spp_slot = cfg.spp // B
+        if cfg.depth > 256 or spp_slot > 65535:
+            # the (s_pl, d_pl) pair rides ONE f32 plane as s*256 + d
+            raise ValueError(
+                "refill wavefront supports depth <= 256 and "
+                f"spp/spp_batch <= 65535 (got depth={cfg.depth}, "
+                f"spp_slot={spp_slot})")
         kernel_r = _make_refill_segment_kernel(
-            n, m, t_min, trows, B, inv_w, inv_h, cfg.scatter_mode,
+            n, m, t_min, B, inv_w, inv_h, cfg.scatter_mode,
             leaf_size, use_flat, n_pad, fat_pad)
         cam_pack = _pack_camera(cam, cfg, n, m, row0, spp=spp_slot)
 
         def seg_call_refill(ride, aux):
-            scal = jnp.asarray(
-                [n, m, refill, lo[0], lo[1], lo[2],
-                 scale[0], scale[1], scale[2]], jnp.float32)
-            operands = [cam_pack, scal, packed]
-            in_specs = [smem, smem, smem]
-            if dense_ops is not None:
-                operands += list(dense_ops)
-                in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-            if fat_ops is not None:
-                operands += list(fat_ops)
-                in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
-            if m:
-                operands.append(nodes_t)
-                in_specs.append(smem)
+            operands, in_specs = _hit_ops(refill)
+            operands = [cam_pack] + operands
+            in_specs = [smem] + in_specs
             operands += [p.reshape(rows, _TILE_W)
                          for p in (*ride, *aux)]
             in_specs += [plane] * 19
@@ -524,13 +540,8 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
             rng.pixel_seed(px0.astype(jnp.uint32),
                            py0.astype(jnp.uint32)),
             bidx0.astype(jnp.uint32))
-        fx0 = px0.astype(jnp.float32)
-        fy0 = py0.astype(jnp.float32)
-        (j1a, _), sd = rng.hash2(sd)
-        (_, j2b), sd = rng.hash2(sd)
-        u0 = (fx0 + j1a * 1.1) * inv_w
-        v0 = (fy0 + j2b * 1.1) * inv_h
-        (ox0, oy0, oz0), (dx0, dy0, dz0), sd = get_ray(cam, u0, v0, sd)
+        (ox0, oy0, oz0), (dx0, dy0, dz0), sd = _jitter_ray(
+            px0.astype(jnp.float32), py0.astype(jnp.float32), sd)
         one = jnp.ones((R,), jnp.float32)
         zero = jnp.zeros((R,), jnp.float32)
         key0 = jnp.where(valid0, 0.0, _DEAD_KEY)
@@ -578,13 +589,8 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                 k.astype(jnp.uint32))
         else:
             sd = seed_carry
-        fx = px.astype(jnp.float32)
-        fy = py.astype(jnp.float32)
-        (j1a, _), sd = rng.hash2(sd)
-        (_, j2b), sd = rng.hash2(sd)
-        u = (fx + j1a * 1.1) * inv_w
-        v = (fy + j2b * 1.1) * inv_h
-        (ox, oy, oz), (dx, dy, dz), sd = get_ray(cam, u, v, sd)
+        (ox, oy, oz), (dx, dy, dz), sd = _jitter_ray(
+            px.astype(jnp.float32), py.astype(jnp.float32), sd)
 
         one = jnp.ones((R,), jnp.float32)
         alive = jnp.where(valid, 1.0, 0.0)
