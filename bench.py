@@ -152,6 +152,9 @@ def bench_config4(extra):
             render(s, c, cfg, backend="pallas", bvh=bvh64))),
         ("wavefront", lambda s, c: jnp.sum(
             render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2))),
+        ("refill_wf", lambda s, c: jnp.sum(
+            render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2,
+                             refill=2))),
     ):
         f = _batch_frames(frame, n_frames=2)
         t = _time_calls(f, scene, cfg.aspect) / 2
@@ -337,9 +340,14 @@ def main():
     fwd_rays_s = bench_config2(extra)
     on_tpu = extra["platform"] == "tpu"
     if on_tpu:
-        bench_config4(extra)
-        bench_refv2(extra)
-        bench_grad_sweep(extra)
+        # sections are independent: a failure in one (tunnel hiccup,
+        # OOM) must not lose the rest of the round-end snapshot
+        for section in (bench_config4, bench_refv2, bench_grad_sweep):
+            try:
+                section(extra)
+            except Exception as e:  # noqa: BLE001
+                extra[f"{section.__name__}_error"] = (
+                    f"{type(e).__name__}: {e}"[:300])
 
     result = {
         "metric": "fwd_rays_per_sec_per_chip",
