@@ -86,8 +86,20 @@ def _newton_cbrt(state):
     return (r * s * jnp.sin(phi), r * s * jnp.cos(phi), r * h), state
 
 
+def _no_transcendental(state):
+    """Timing bound: drop cbrt AND sin/cos (wrong distribution)."""
+    (a, bu, c), state = rng.hash3(state)
+    h = a * np.float32(2.0) - np.float32(1.0)
+    sn = bu * np.float32(2.0) - np.float32(1.0)
+    cs = np.float32(1.0) - bu
+    r = c
+    s = jnp.sqrt(jnp.maximum(np.float32(1.0) - h * h, np.float32(0.0)))
+    return (r * s * sn, r * s * cs, r * h), state
+
+
 for label, fn in (("no-cbrt (r=c)", _no_cbrt),
-                  ("newton cbrt", _newton_cbrt)):
+                  ("newton cbrt", _newton_cbrt),
+                  ("no transcend.", _no_transcendental)):
     rng.random_in_unit_sphere = fn
     # kernels resolve rng.* at trace time; clear jit caches so the
     # patched sampler is re-traced
