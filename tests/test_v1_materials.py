@@ -83,6 +83,19 @@ def test_v1_wavefront_matches_golden():
     np.testing.assert_allclose(img, ref, rtol=0, atol=2.5e-7)
 
 
+def test_v1_refill_wavefront_matches_golden():
+    """v1 scatter semantics through the persistent-refill schedule
+    (tolerance: the refill FMA-contraction class, tests/test_wavefront
+    refill notes)."""
+    cfg = RenderConfig(width=64, height=48, spp=2, depth=5,
+                       scatter_mode="v1", rng_mode="parallel")
+    scene, cam = _scene(), _cam(cfg.aspect)
+    ref = np.asarray(golden.render_golden(scene, cam, cfg))
+    img = np.asarray(render_wavefront(scene, cam, cfg, refill=2))
+    np.testing.assert_allclose(img, ref, rtol=0, atol=2e-3)
+    assert np.abs(img - ref).mean() < 1e-5
+
+
 def test_v1_adjoint_grads_match_autodiff():
     cfg = RenderConfig(width=48, height=24, spp=2, depth=4,
                        scatter_mode="v1")
