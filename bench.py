@@ -333,6 +333,30 @@ def bench_grad_sweep(extra):
     extra["gradkernel_fd_rel_err"] = fd_errs
     extra["gradkernel_rel_err_max"] = round(worst, 6)
 
+    # the PASS-1-elided kernel (parallel RNG + forward image operand)
+    # on hardware: albedo probe vs golden autodiff in the same RNG mode
+    cfg_p = cfg.replace(rng_mode="parallel")
+
+    @jax.jit
+    def kernel_grads_elided(scene, cam, ct):
+        img = g.render_golden(scene, cam, cfg_p)
+        _, ds, dc = gradkernel.render_pallas_vjp(scene, cam, cfg_p, ct,
+                                                 interpret=False, img=img)
+        return ds
+
+    @jax.jit
+    def autodiff_grads_p(scene, cam, ct):
+        def loss(s, c):
+            return jnp.sum(g.render_golden(s, c, cfg_p) * ct)
+        return jax.grad(loss, allow_int=True)(scene, cam)
+
+    ct = ct_for(*probes_for(1))
+    ds_e = kernel_grads_elided(scene, cam, ct)
+    ds_a = autodiff_grads_p(scene, cam, ct)
+    an, ad = float(ds_e.albedo[1, 0]), float(ds_a.albedo[1, 0])
+    extra["gradkernel_elided_albedo_rel_err"] = round(
+        abs(an - ad) / max(abs(ad), 1e-5), 6)
+
 
 def main():
     extra = {"platform": jax.devices()[0].platform,
