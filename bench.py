@@ -161,6 +161,20 @@ def bench_config4(extra):
         extra[f"config4_fwd_{name}_rays_per_sec"] = round(rays / t)
         extra[f"config4_fwd_{name}_ms"] = round(t * 1e3, 1)
 
+    # BASELINE.json's config-4 text says 100 spp; the 20-spp rows above
+    # keep round-over-round comparability, this row matches the baseline
+    # workload exactly (rays/s normalizes spp, and the refill engine
+    # amortizes better at high spp, so this is the headline large-scene
+    # number)
+    cfg100 = RenderConfig(width=800, height=400, spp=100, depth=12,
+                          rng_mode="parallel")
+    f100 = _batch_frames(lambda s, c: jnp.sum(
+        render(s, c, cfg100, backend="pallas", bvh=bvh64)), n_frames=1)
+    t100 = _time_calls(f100, scene, cfg.aspect, iters=3)
+    extra["config4_100spp_fwd_rays_per_sec"] = round(
+        cfg100.width * cfg100.height * cfg100.spp / t100)
+    extra["config4_100spp_fwd_ms"] = round(t100 * 1e3, 1)
+
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
     # parallel RNG for the VJP: per-sample fold_in seeds let the fused
@@ -205,6 +219,21 @@ def bench_refv2(extra):
     extra["refv2_fwd_ms"] = round(t * 1e3, 1)
     extra["refv2_config"] = ("random_world 1024x576 60spp depth50 "
                              "megakernel(refill, leaf64)")
+
+    # the depth-50 tail is where the refill WAVEFRONT's sort boundaries
+    # should pay off most — record it next to the megakernel number
+    from raytpu.wavefront import render_wavefront
+    cfg_p = cfg.replace(rng_mode="parallel")
+    bvh32 = build_bvh(scene, leaf_size=32)
+
+    @jax.jit
+    def f_wf(s, c):
+        return jnp.sum(render_wavefront(s, c, cfg_p, bvh=bvh32,
+                                        spp_batch=2, refill=2))
+
+    t_wf = _time_calls(f_wf, scene, cfg.aspect, iters=2)
+    extra["refv2_fwd_refill_wf_rays_per_sec"] = round(rays / t_wf)
+    extra["refv2_fwd_refill_wf_ms"] = round(t_wf * 1e3, 1)
 
 
 def bench_grad_sweep(extra):
