@@ -1264,7 +1264,8 @@ def _bwd_bvh(cfg, interpret, block_w, vis_w, leaf_size, res, ct):
         from raytpu.kernels import gradkernel
         _, ds, dc = gradkernel.render_pallas_vjp(
             scene, cam, cfg, ct, interpret=False,
-            bvh=BVH(nodes=nodes, perm=perm, leaf_size=leaf_size),
+            bvh=BVH(nodes=nodes, perm=perm, leaf_size=leaf_size,
+                    flat=flat),
             vis_w=vis_w, img=img)
     else:
         ds, dc = _golden_bwd(cfg, (scene, cam), ct, vis_w)

@@ -691,7 +691,8 @@ def _wf_bwd(cfg, interpret, segments, tile_rows, vis_w, leaf_size,
         bvh = None
         if nodes is not None:
             from raytpu.bvh import BVH
-            bvh = BVH(nodes=nodes, perm=perm, leaf_size=leaf_size)
+            bvh = BVH(nodes=nodes, perm=perm, leaf_size=leaf_size,
+                      flat=flat)
         _, ds, dc = gradkernel.render_pallas_vjp(
             scene, cam, cfg, ct, interpret=False, bvh=bvh, vis_w=vis_w,
             img=img)
