@@ -73,6 +73,17 @@ class BVH:
     flat: jnp.ndarray | None = None
 
     @property
+    def n_outliers(self) -> int:
+        """Outlier spheres split OUT of the tree (``build_bvh``'s
+        ``split_outliers``): they occupy the TAIL of ``perm`` after the
+        padded leaf entries, and kernels test them unconditionally
+        before the walk.  Derived from static shapes (perm length minus
+        leaves x leaf_size) so it needs no extra custom_vjp plumbing."""
+        if self.flat is None or self.leaf_size is None:
+            return 0
+        return int(self.perm.shape[0]) - self.n_leaves * self.leaf_size
+
+    @property
     def n_nodes(self) -> int:
         return self.nodes.shape[0]
 
@@ -166,7 +177,8 @@ def _flat_leaves(nodes_arr: np.ndarray) -> np.ndarray:
 
 def build_bvh(scene: Scene, leaf_size: int = 64, pad: float = 1e-4,
               use_native: bool = True, pad_leaves: bool = True,
-              builder: str = "median") -> BVH:
+              builder: str = "median",
+              split_outliers: bool = True) -> BVH:
     """BVH over the scene's spheres (host-side build).
 
     ``builder="median"`` (default) splits at the centroid median of the
@@ -195,26 +207,62 @@ def build_bvh(scene: Scene, leaf_size: int = 64, pad: float = 1e-4,
     Padded BVHs additionally store 8 octant-ordered node copies
     (``nodes`` becomes (8*M, 9), see :func:`_octant_orders`) for
     front-to-back traversal.
+
+    ``split_outliers`` (default, padded BVHs only) keeps outlier-huge
+    spheres (radius > 10x the median, the same rule as the wavefront's
+    sort-key bbox) OUT of the tree: they ride the TAIL of ``perm`` and
+    kernels test them unconditionally before the walk.  A giant ground
+    sphere would otherwise (a) blow up its leaf's bbox so every ray
+    enters those ``leaf_size`` sphere tests, and (b) under SAH land in
+    a near-singleton leaf that padding fills with ``leaf_size - 1``
+    dummy tests.  Splitting costs one always-run sphere test per
+    outlier and, since such spheres are hit by most rays anyway,
+    tightens ``t_best`` BEFORE the walk so far leaves die on the
+    ``tfar <= t_best`` clamp.  Images are unchanged (closest-hit is
+    test-order independent).
     """
     if builder not in ("median", "sah"):
         raise ValueError(f"unknown builder {builder!r}")
     center = np.asarray(scene.center, np.float64)
     radius = np.asarray(scene.radius, np.float64)
+    n_total = len(radius)
+    keep = None
+    outliers = np.empty(0, np.int64)
+    if split_outliers and pad_leaves and n_total >= 2:
+        r_abs = np.abs(radius)
+        out_mask = r_abs > 10.0 * max(float(np.median(r_abs)), 1e-6)
+        if out_mask.any():
+            keep = np.nonzero(~out_mask)[0]
+            outliers = np.nonzero(out_mask)[0]
+            center = center[keep]
+            radius = radius[keep]
+
+    def _finish(nodes_arr, perm_arr):
+        if pad_leaves:
+            nodes_arr, perm_arr = _pad_leaf_nodes(nodes_arr, perm_arr,
+                                                  leaf_size)
+            nodes_arr = _octant_orders(nodes_arr)
+        perm_arr = np.asarray(perm_arr, np.float32)
+        if keep is not None:
+            # tree perm is subset-relative: remap to original sphere
+            # ids (dummies stay -1), then append the outliers' ids
+            valid = perm_arr >= 0
+            remapped = keep[np.maximum(perm_arr.astype(np.int64), 0)]
+            perm_arr = np.where(valid, remapped.astype(np.float32), -1.0)
+            perm_arr = np.concatenate(
+                [perm_arr, outliers.astype(np.float32)])
+        return BVH(nodes=jnp.asarray(nodes_arr),
+                   perm=jnp.asarray(perm_arr),
+                   leaf_size=leaf_size if pad_leaves else None,
+                   flat=(jnp.asarray(_flat_leaves(nodes_arr))
+                         if pad_leaves else None))
+
     if use_native or builder == "sah":
         from raytpu import native
         out = native.build_bvh_native(center, radius, leaf_size, pad,
                                       sah=builder == "sah")
         if out is not None:
-            nodes_arr, perm_arr = out
-            if pad_leaves:
-                nodes_arr, perm_arr = _pad_leaf_nodes(
-                    nodes_arr, perm_arr, leaf_size)
-                nodes_arr = _octant_orders(nodes_arr)
-            return BVH(nodes=jnp.asarray(nodes_arr),
-                       perm=jnp.asarray(perm_arr),
-                       leaf_size=leaf_size if pad_leaves else None,
-                       flat=(jnp.asarray(_flat_leaves(nodes_arr))
-                             if pad_leaves else None))
+            return _finish(*out)
     radius = np.abs(radius)
     lo = center - radius[:, None]
     hi = center + radius[:, None]
@@ -241,19 +289,11 @@ def build_bvh(scene: Scene, leaf_size: int = 64, pad: float = 1e-4,
             rec(idx[sub[half:]])
         nodes[my][8] = float(len(nodes))  # skip = index after subtree
 
-    rec(np.arange(scene.count))
+    rec(np.arange(len(radius)))
     nodes_arr = np.asarray(nodes, np.float32)
-    assert len(order) == scene.count
+    assert len(order) == len(radius)
     perm_arr = np.asarray(order, np.float32)
-    if pad_leaves:
-        nodes_arr, perm_arr = _pad_leaf_nodes(nodes_arr, perm_arr,
-                                              leaf_size)
-        nodes_arr = _octant_orders(nodes_arr)
-    return BVH(nodes=jnp.asarray(nodes_arr),
-               perm=jnp.asarray(perm_arr),
-               leaf_size=leaf_size if pad_leaves else None,
-               flat=(jnp.asarray(_flat_leaves(nodes_arr))
-                     if pad_leaves else None))
+    return _finish(nodes_arr, perm_arr)
 
 
 def permute_scene(scene: Scene, perm) -> Scene:
@@ -280,16 +320,31 @@ def permute_scene(scene: Scene, perm) -> Scene:
 
 def closest_hit_numpy(bvh_nodes: np.ndarray, centers: np.ndarray,
                       radii: np.ndarray, ro: np.ndarray, rd: np.ndarray,
-                      t_min: float = 1e-3):
+                      t_min: float = 1e-3, n_outliers: int = 0):
     """Scalar skip-pointer traversal -> (t, permuted_index) or (inf, -1).
 
     centers/radii are in PERMUTED order; mirrors the kernel's walk exactly
     (same node order, same slab + quadratic math) in float64.
+    ``n_outliers`` tail entries (split_outliers) are tested
+    unconditionally before the walk, like the kernels do.
     """
     nodes = np.asarray(bvh_nodes, np.float64)
     m = len(nodes)
     inv = np.where(rd != 0, 1.0 / np.where(rd == 0, 1.0, rd), np.inf)
     best_t, best_i = np.inf, -1
+    for i in range(len(centers) - n_outliers, len(centers)):
+        oc = ro - centers[i]
+        a = rd @ rd
+        half_b = oc @ rd
+        c = oc @ oc - radii[i] * radii[i]
+        disc = half_b * half_b - a * c
+        if disc >= 0:
+            sq = np.sqrt(disc)
+            root = (-half_b - sq) / a
+            if root < t_min:
+                root = (-half_b + sq) / a
+            if root >= t_min and root < best_t:
+                best_t, best_i = root, i
     node = 0
     while node < m:
         b = nodes[node]

@@ -195,7 +195,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                       static_leaf: int | None = None,
                       flat_leaves: bool = False,
                       fat_pad: int | None = None,
-                      skip_p1: bool = False):
+                      skip_p1: bool = False,
+                      outliers: tuple | None = None):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -390,9 +391,16 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 tb, idxf = _flat_sweep_ti(
                     sc_ref, nd_ref, dyn_nodes, nbase, static_leaf,
                     t_min, (ox, oy, oz, dx, dy, dz),
-                    (inv_dx, inv_dy, inv_dz), a, inv_a, alive)
+                    (inv_dx, inv_dy, inv_dz), a, inv_a, alive,
+                    outliers=outliers)
                 attrs = _onehot_attrs(fat_ref[:, :], fat_pad, idxf)
                 return idxf, tb < _INF, attrs
+
+            if outliers is not None:
+                # split-out outliers: unconditional tests seed t_best
+                # before the walk (see megakernel._flat_sweep_ti)
+                for kk in range(outliers[1]):
+                    hs0 = body(jnp.int32(outliers[0] + kk), hs0)
 
             def t_cond(ts):
                 return ts[0] < dyn_nodes
@@ -880,11 +888,18 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     # every path (replaces the serial distinct-winner loop); padded to
     # n_pad so winner indices align with the grad accumulator columns
     fat, fat_pad = _pack_flat_at(packed, min_pad=n_pad)
+    from raytpu.kernels.megakernel import _bvh_outliers
+    outl = (None if bvh is None
+            else _bvh_outliers(bvh.perm, bvh.flat, bvh.leaf_size))
     kernel = _make_grad_kernel(
         cfg, n, n_nodes=m, store_idx=store_idx, vis_w=float(vis_w),
         static_leaf=None if bvh is None else bvh.leaf_size,
-        flat_leaves=use_flat, fat_pad=fat_pad, skip_p1=skip_p1)
-    operands = [_pack_camera(cam, cfg, n, m, row0), packed]
+        flat_leaves=use_flat, fat_pad=fat_pad, skip_p1=skip_p1,
+        outliers=outl)
+    # nk, not n: dyn_nsph bounds the vis_w near-miss sweep, which runs
+    # over the PERMUTED pack — real spheres sit at rows >= count when
+    # leaves carry padding dummies (dummies are NaN and never win)
+    operands = [_pack_camera(cam, cfg, nk, m, row0), packed]
     in_specs = [smem, smem]
     if bvh is not None:
         nd = bvh.flat if use_flat else bvh.nodes

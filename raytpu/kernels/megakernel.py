@@ -181,7 +181,7 @@ def _onehot_attrs(fat, at_pad, idxf):
 
 
 def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
-                   rays, inv_d, a, inv_a, alive):
+                   rays, inv_d, a, inv_a, alive, outliers=None):
     """Flat leaf-list closest-hit sweep -> (t_best, winner-index f32,
     -1 = miss): iterate the octant-ordered leaf rows front-to-back
     (``nd_ref`` = transposed ``bvh.flat``), entering a leaf's
@@ -189,7 +189,13 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
     hits its bbox within the current t_best.  The per-sphere loop
     -carried state is just (t_best, index) — 2 predicated updates.
     SHARED op-for-op by the megakernel bounce body and the VJP
-    kernel's closest_hit (CLAUDE.md lockstep rule)."""
+    kernel's closest_hit (CLAUDE.md lockstep rule).
+
+    ``outliers = (base, count)`` (static): spheres split OUT of the tree
+    by ``bvh.build_bvh(split_outliers=...)``, living at perm rows
+    [base, base+count).  Tested unconditionally BEFORE the walk — a
+    giant ground sphere is hit by most rays, so seeding ``t_best`` with
+    it lets far leaves die on the ``tfar <= t_best`` clamp."""
     ox, oy, oz, dx, dy, dz = rays
     inv_dx, inv_dy, inv_dz = inv_d
     zero = jnp.zeros_like(ox)
@@ -252,8 +258,12 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
 
         return jax.lax.cond(anyhit, do_leaf, lambda t: t, ti)
 
-    return jax.lax.fori_loop(0, dyn_nodes, leaf_iter_ti,
-                             (zero + _INF, zero - 1.0))
+    ti0 = (zero + _INF, zero - 1.0)
+    if outliers is not None:
+        base, cnt = outliers
+        for kk in range(cnt):
+            ti0 = sphere_body_ti(jnp.int32(base + kk), ti0)
+    return jax.lax.fori_loop(0, dyn_nodes, leaf_iter_ti, ti0)
 
 
 def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
@@ -261,7 +271,7 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                      static_leaf: int | None = None,
                      flat_leaves: bool = False,
                      flat_unroll_n: int | None = None,
-                     dense=None, flat_at=None):
+                     dense=None, flat_at=None, outliers=None):
     """ONE bounce of the path-trace state machine over an (8, 128) tile.
 
     Returns ``body(state) -> state`` with state
@@ -454,7 +464,8 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                 tb, idxf = _flat_sweep_ti(
                     sc_ref, nd_ref, dyn_nodes, nbase, static_leaf,
                     t_min, (ox, oy, oz, dx, dy, dz),
-                    (inv_dx, inv_dy, inv_dz), a, inv_a, alive)
+                    (inv_dx, inv_dy, inv_dz), a, inv_a, alive,
+                    outliers=outliers)
 
                 (h_cx, h_cy, h_cz, h_rad, h_mt,
                  h_ar, h_ag, h_ab, h_mp) = _onehot_attrs(
@@ -463,6 +474,12 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                       h_mt, h_ar, h_ag, h_ab, h_mp)
             elif flat_leaves:
                 assert static_leaf, "flat traversal needs padded leaves"
+                if outliers is not None:
+                    # split-out outliers: unconditional tests seed
+                    # t_best before the walk (see _flat_sweep_ti)
+                    for kk in range(outliers[1]):
+                        hs0 = sphere_body(jnp.int32(outliers[0] + kk),
+                                          hs0)
 
                 def leaf_iter(k, hs):
                     tb = hs[0]
@@ -503,6 +520,13 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                 else:
                     hs = jax.lax.fori_loop(0, dyn_nodes, leaf_iter, hs0)
             else:
+                if outliers is not None:
+                    # split-out outliers: unconditional tests seed
+                    # t_best before the walk (see _flat_sweep_ti)
+                    for kk in range(outliers[1]):
+                        hs0 = sphere_body(jnp.int32(outliers[0] + kk),
+                                          hs0)
+
                 def t_cond(ts):
                     return ts[0] < dyn_nodes
 
@@ -807,13 +831,26 @@ def make_refill_step(bounce, gen_ray, seed0, dyn_depth_f, dyn_spp_f,
     return body
 
 
+def _bvh_outliers(perm, flat, leaf_size):
+    """(base, count) of the split-out outlier tail (see
+    bvh.build_bvh(split_outliers=...)), or None.  Derived from STATIC
+    shapes only — perm rows beyond the padded leaf entries are the
+    outliers — so it is computable on traced operands inside jit."""
+    if flat is None or not leaf_size:
+        return None
+    base = (flat.shape[0] // 8) * leaf_size
+    cnt = int(perm.shape[0]) - base
+    return (base, cnt) if cnt else None
+
+
 def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                  carry_state: bool = False, block_w: int = _TILE_W,
                  static_leaf: int | None = None,
                  flat_leaves: bool = False,
                  dense_pad: int | None = None,
                  flat_at_pad: int | None = None,
-                 strided: bool = False):
+                 strided: bool = False,
+                 outliers: tuple | None = None):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -907,7 +944,8 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
         flat_at = ((fat_ref, flat_at_pad) if flat_at_pad else None)
         bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes,
                                   t_min, cfg.scatter_mode, static_leaf,
-                                  flat_leaves, unroll, dense, flat_at)
+                                  flat_leaves, unroll, dense, flat_at,
+                                  outliers=outliers)
         gen_ray = make_gen_ray(cam_ref, fx, fy, inv_w, inv_h)
 
         zero = jnp.zeros(shape, jnp.float32)
@@ -1128,6 +1166,7 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
         from raytpu.bvh import permute_scene
         use_flat = (flat is not None
                     and flat.shape[0] // 8 <= _FLAT_MAX_LEAVES)
+        outl = _bvh_outliers(perm, flat, leaf_size)
         if use_flat:
             # flat leaf-list traversal: leaf rows only, 8 octant copies
             m = flat.shape[0] // 8
@@ -1142,7 +1181,7 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
             kernel = _make_kernel(cfg, n, n_nodes=m, block_w=block_w,
                                   static_leaf=leaf_size,
                                   flat_leaves=True, flat_at_pad=fat_pad,
-                                  strided=strided)
+                                  strided=strided, outliers=outl)
             operands = (_pack_camera(cam, cfg, n, m, row0),
                         packed, fat, nd.T.astype(jnp.float32))
             in_specs = [smem, smem,
@@ -1151,7 +1190,7 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
             kernel = _make_kernel(cfg, n, n_nodes=m, block_w=block_w,
                                   static_leaf=leaf_size,
                                   flat_leaves=use_flat,
-                                  strided=strided)
+                                  strided=strided, outliers=outl)
             operands = (_pack_camera(cam, cfg, n, m, row0),
                         packed, nd.T.astype(jnp.float32))
             in_specs = [smem, smem, smem]
@@ -1319,7 +1358,9 @@ def accumulate_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
         nd = bvh.flat if use_flat else bvh.nodes
         kernel = _make_kernel(cfg, n, n_nodes=m, carry_state=True,
                               static_leaf=bvh.leaf_size,
-                              flat_leaves=use_flat)
+                              flat_leaves=use_flat,
+                              outliers=_bvh_outliers(
+                                  bvh.perm, bvh.flat, bvh.leaf_size))
         operands = [_pack_camera(cam, cfg, n, m, spp=spp, s0=samples0),
                     _pack_scene(permute_scene(scene, bvh.perm)),
                     nd.T.astype(jnp.float32)]

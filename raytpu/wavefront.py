@@ -57,7 +57,7 @@ from raytpu.config import RenderConfig
 from raytpu.scene import Scene
 from raytpu.kernels.megakernel import (
     _TILE_H, _TILE_W, make_bounce_body, make_gen_ray, make_refill_step,
-    _pack_camera, _pack_scene, _to_gamma,
+    _bvh_outliers, _pack_camera, _pack_scene, _to_gamma,
 )
 
 _BLOCK = 32            # primary rays are laid out in 32x32 pixel blocks
@@ -77,7 +77,8 @@ def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
                          static_leaf: int | None = None,
                          flat_leaves: bool = False,
                          dense_pad: int | None = None,
-                         flat_at_pad: int | None = None):
+                         flat_at_pad: int | None = None,
+                         outliers: tuple | None = None):
     """Pallas kernel: run up to ``n_bounces`` bounces over one tile of
     consecutive ray slots, then emit the next sort key."""
 
@@ -120,7 +121,7 @@ def _make_segment_kernel(n_spheres: int, n_nodes: int, t_min, rows,
             bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph,
                                       dyn_nodes, t_min, scatter_mode,
                                       static_leaf, flat_leaves, unroll,
-                                      dense, flat_at)
+                                      dense, flat_at, outliers=outliers)
 
             def cond(st):
                 return (st[0] < dyn_bounces) & (jnp.max(st[13]) > 0)
@@ -175,7 +176,8 @@ def _make_refill_segment_kernel(n_spheres: int, n_nodes: int, t_min,
                                 static_leaf: int | None = None,
                                 flat_leaves: bool = False,
                                 dense_pad: int | None = None,
-                                flat_at_pad: int | None = None):
+                                flat_at_pad: int | None = None,
+                                outliers: tuple | None = None):
     """Persistent-refill segment kernel: run up to ``n_bounces`` bounces
     over one tile of consecutive ray slots with IN-KERNEL sample respawn
     (megakernel.make_refill_step — a lane whose sample terminates
@@ -245,7 +247,7 @@ def _make_refill_segment_kernel(n_spheres: int, n_nodes: int, t_min,
             bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph,
                                       dyn_nodes, t_min, scatter_mode,
                                       static_leaf, flat_leaves, unroll,
-                                      dense, flat_at)
+                                      dense, flat_at, outliers=outliers)
             gen_ray = make_gen_ray(cam_ref, fx, fy, inv_w, inv_h)
             step = make_refill_step(bounce, gen_ray, seed0, dyn_depth_f,
                                     dyn_spp_f, True, bidx,
@@ -406,9 +408,12 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
         nodes_t = None
         m = 0
     lo, scale = _key_bounds(scene)
+    outl = (_bvh_outliers(perm, flat, leaf_size)
+            if dense_ops is None and nodes is not None else None)
 
     kernel = _make_segment_kernel(n, m, t_min, trows, cfg.scatter_mode,
-                                  leaf_size, use_flat, n_pad, fat_pad)
+                                  leaf_size, use_flat, n_pad, fat_pad,
+                                  outliers=outl)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     plane = pl.BlockSpec((trows, _TILE_W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -509,7 +514,7 @@ def _render_wavefront_impl(scene: Scene, cam: Camera, nodes, perm,
                 f"spp_slot={spp_slot})")
         kernel_r = _make_refill_segment_kernel(
             n, m, t_min, B, inv_w, inv_h, cfg.scatter_mode,
-            leaf_size, use_flat, n_pad, fat_pad)
+            leaf_size, use_flat, n_pad, fat_pad, outliers=outl)
         cam_pack = _pack_camera(cam, cfg, n, m, row0, spp=spp_slot)
 
         def seg_call_refill(ride, aux):

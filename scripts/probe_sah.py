@@ -45,21 +45,25 @@ def timeit(label, fn, iters=3):
           flush=True)
 
 
-for builder in ("median", "sah"):
-    for leaf in (32, 64):
-        b = bvh_mod.build_bvh(scene, leaf_size=leaf, builder=builder)
-        n_leaves = b.n_leaves
+for split in (True, False):
+    for builder in ("median", "sah"):
+        for leaf in (32, 64):
+            b = bvh_mod.build_bvh(scene, leaf_size=leaf, builder=builder,
+                                  split_outliers=split)
+            tag = (f"{builder} leaf{leaf} L={b.n_leaves} "
+                   f"out={b.n_outliers}")
 
-        @jax.jit
-        def f_mk(s, eps, b=b):
-            return jnp.sum(render(s, cam_i(eps), cfg, backend="pallas",
-                                  bvh=b))
+            @jax.jit
+            def f_mk(s, eps, b=b):
+                return jnp.sum(render(s, cam_i(eps), cfg,
+                                      backend="pallas", bvh=b))
 
-        timeit(f"refill-mk  {builder} leaf{leaf} L={n_leaves}", f_mk)
+            timeit(f"refill-mk  {tag}", f_mk)
 
-        @jax.jit
-        def f_wf(s, eps, b=b):
-            return jnp.sum(render_wavefront(s, cam_i(eps), cfg, bvh=b,
-                                            spp_batch=2, refill=2))
+            @jax.jit
+            def f_wf(s, eps, b=b):
+                return jnp.sum(render_wavefront(s, cam_i(eps), cfg,
+                                                bvh=b, spp_batch=2,
+                                                refill=2))
 
-        timeit(f"refill-wf  {builder} leaf{leaf} L={n_leaves}", f_wf)
+            timeit(f"refill-wf  {tag}", f_wf)

@@ -122,7 +122,10 @@ def test_padded_leaf_invariants():
     for start, count in spans:
         assert start == cursor
         cursor += count
-    assert cursor == len(perm)
+    # leaf entries tile [0, len - n_outliers); split-out outliers
+    # (random_world's ground sphere) ride the tail
+    assert cursor == len(perm) - b.n_outliers
+    assert b.n_outliers == 1
     # permuted scene: dummy rows are NaN and never intersect
     ps = bvh_mod.permute_scene(scene, b.perm)
     centers = np.asarray(ps.center, np.float64)
@@ -133,7 +136,8 @@ def test_padded_leaf_invariants():
         ro = rs.uniform(-12, 12, 3)
         ro[1] = rs.uniform(0.1, 6)
         rd = rs.normal(size=3)
-        t, i = bvh_mod.closest_hit_numpy(nodes, centers, radii, ro, rd)
+        t, i = bvh_mod.closest_hit_numpy(nodes, centers, radii, ro, rd,
+                                         n_outliers=b.n_outliers)
         if i >= 0:
             assert perm[i] >= 0  # a dummy never wins
 
@@ -287,3 +291,92 @@ def test_sah_padded_render_matches_golden():
     b = bvh_mod.build_bvh(scene, leaf_size=8, builder="sah")
     got = np.asarray(megakernel.render_pallas(scene, cam, cfg, bvh=b))
     np.testing.assert_array_equal(got, want)
+
+
+def test_outlier_split_invariants():
+    """split_outliers (default): the giant ground sphere leaves the
+    tree, rides the perm tail, and the numpy oracle (which tests the
+    tail unconditionally) still agrees with brute force over ALL
+    spheres."""
+    scene = raytpu.final_world()
+    b = bvh_mod.build_bvh(scene, leaf_size=8)
+    n = scene.count
+    perm = np.asarray(b.perm)
+    assert b.n_outliers == 1
+    # tail entry is the ground sphere (the unique radius outlier)
+    radii_all = np.abs(np.asarray(scene.radius, np.float64))
+    assert radii_all[int(perm[-1])] == radii_all.max()
+    # non-dummy perm entries are a permutation of [0, n)
+    real = perm[perm >= 0].astype(int)
+    assert sorted(real.tolist()) == list(range(n))
+    # tree leaves never contain the outlier
+    leaf_entries = perm[:-b.n_outliers]
+    assert int(perm[-1]) not in leaf_entries[leaf_entries >= 0].astype(int)
+
+    from raytpu.bvh import permute_scene
+    ps = permute_scene(scene, b.perm)
+    centers = np.asarray(ps.center, np.float64)
+    radii = np.asarray(ps.radius, np.float64)
+    nodes = np.asarray(b.nodes, np.float64)[: b.n_trav]  # octant copy 0
+    c_orig = np.asarray(scene.center, np.float64)
+    r_orig = np.asarray(scene.radius, np.float64)
+    rs = np.random.default_rng(7)
+    for _ in range(48):
+        ro = rs.uniform(-12, 12, 3)
+        ro[1] = rs.uniform(0.1, 6)
+        rd = rs.normal(size=3)
+        t_b, i_b = bvh_mod.closest_hit_numpy(
+            nodes, centers, radii, ro, rd, n_outliers=b.n_outliers)
+        t_r, i_r = _brute(c_orig, r_orig, ro, rd)
+        if np.isinf(t_r):
+            assert np.isinf(t_b)
+        else:
+            np.testing.assert_allclose(t_b, t_r, rtol=1e-12)
+            assert int(perm[i_b]) == i_r
+
+
+def test_outlier_split_render_matches_golden():
+    """Split BVH through the interpret-mode megakernel == golden
+    bitwise (the always-tested tail must produce identical hits)."""
+    from raytpu import golden
+    from raytpu.kernels import megakernel
+    from raytpu.config import RenderConfig
+    cfg = RenderConfig(width=48, height=16, spp=1, depth=3)
+    scene = raytpu.final_world()
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect)
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    b = bvh_mod.build_bvh(scene, leaf_size=8)
+    assert b.n_outliers == 1
+    got = np.asarray(megakernel.render_pallas(scene, cam, cfg, bvh=b))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_silhouette_grads_bvh_matches_plain():
+    """vis_w (silhouette) gradients through the fused kernel are the
+    same with and without a padded BVH.  Exercises (a) the outlier tail
+    in the near-miss sweep and (b) the dyn_nsph = nk fix: with padded
+    leaves, real spheres sit at permuted rows >= count, which the
+    near-miss sweep previously skipped."""
+    import jax
+    from raytpu import golden
+    from raytpu.kernels import gradkernel
+    from raytpu.config import RenderConfig
+    cfg = RenderConfig(width=64, height=32, spp=2, depth=3)
+    scene = raytpu.random_world(seed=5, half_extent=3)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                             aspect=cfg.aspect)
+    img = golden.render_golden(scene, cam, cfg)
+    ct = 2.0 * np.asarray(img) / img.size
+    vis_w = 0.005
+    _, ds0, _ = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
+                                             vis_w=vis_w)
+    b = bvh_mod.build_bvh(scene, leaf_size=4)
+    assert b.n_outliers >= 1
+    _, ds1, _ = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
+                                             vis_w=vis_w, bvh=b)
+    for k in ("center", "radius"):
+        a = np.asarray(getattr(ds0, k))
+        c = np.asarray(getattr(ds1, k))
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(c, a, atol=1e-5 * scale, rtol=1e-4)
