@@ -199,3 +199,49 @@ def test_dense_ignores_bvh(force_dense):
     without = np.asarray(megakernel.render_pallas(
         scene, cam, cfg, interpret=True))
     np.testing.assert_array_equal(with_bvh, without)
+
+
+def test_skip_pointer_with_outlier_split_bit_equal(monkeypatch):
+    # _FLAT_MAX_LEAVES = 0 forces the skip-pointer octant walk; the
+    # split-out ground sphere must still be tested (outlier prologue on
+    # the while-loop path), pinned to golden
+    from raytpu.bvh import build_bvh
+    cfg = RenderConfig(width=96, height=48, spp=2, depth=4)
+    scene = raytpu.final_world()
+    cam = _cam(cfg.aspect)
+    b = build_bvh(scene)
+    assert b.n_outliers == 1
+    monkeypatch.setattr(megakernel, "_FLAT_MAX_LEAVES", 0)
+    img = np.asarray(megakernel.render_pallas(scene, cam, cfg, bvh=b,
+                                              interpret=True))
+    ref = np.asarray(golden.render_golden(scene, cam, cfg))
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_gradkernel_skip_pointer_outlier_split(monkeypatch):
+    # same forcing for the VJP kernel's closest_hit while-loop path
+    from raytpu import bvh as bvh_mod
+    from raytpu.kernels import gradkernel
+    import jax
+    import jax.numpy as jnp
+    cfg = RenderConfig(width=64, height=16, spp=1, depth=3)
+    scene = raytpu.random_world(seed=3, half_extent=3)
+    cam = _cam(cfg.aspect)
+    ref = golden.render_golden(scene, cam, cfg)
+    ct = 2.0 * np.asarray(ref) / ref.size
+    b = bvh_mod.build_bvh(scene, leaf_size=4)
+    assert b.n_outliers == 1
+    monkeypatch.setattr(gradkernel, "_FLAT_MAX_LEAVES", 0)
+    img, ds, dc = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
+                                               bvh=b)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               atol=1e-5)
+
+    def loss(s, c):
+        return jnp.mean((golden.render_golden(s, c, cfg)) ** 2)
+
+    gs, _ = jax.grad(loss, argnums=(0, 1), allow_int=True)(scene, cam)
+    for k in ("center", "radius", "albedo", "mat_param"):
+        a, bb = np.asarray(getattr(ds, k)), np.asarray(getattr(gs, k))
+        scale = max(np.abs(bb).max(), 1e-8)
+        assert np.abs(a - bb).max() / scale < 1e-4, k
