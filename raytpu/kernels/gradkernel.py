@@ -539,7 +539,11 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     return 0
                 jax.lax.fori_loop(0, dyn_depth, clr_idx, 0)
             st = jax.lax.while_loop(cond, body, st)
-            return (st[10], st[11], st[12]), st[14], (u, v, lens)
+            # st[0] = bounces processed before the whole-tile exit: the
+            # reverse sweep only needs [0, st[0]) — deeper residual rows
+            # were neither written by this sample nor contribute (dead
+            # lanes store scat = miss = 0)
+            return (st[10], st[11], st[12]), st[14], (u, v, lens), st[0]
 
         # scratch boots as GARBAGE on hardware: inf/NaN at skipped depths
         # would poison the reverse sweep through 0 * inf in the where
@@ -566,11 +570,11 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 if parallel:
                     sd_s = rng.fold_in(sd, s)
                     seeds_ref[s] = pltpu.bitcast(sd_s, jnp.float32)
-                    (r, g, b), _, _ = fwd_sample(sd_s, False, s)
+                    (r, g, b), _, _, _ = fwd_sample(sd_s, False, s)
                     sd_out = sd
                 else:
                     seeds_ref[s] = pltpu.bitcast(sd, jnp.float32)
-                    (r, g, b), sd_out, _ = fwd_sample(sd, False, s)
+                    (r, g, b), sd_out, _, _ = fwd_sample(sd, False, s)
                 return acc_r + r, acc_g + g, acc_b + b, sd_out
 
             acc_r, acc_g, acc_b, _ = jax.lax.fori_loop(
@@ -610,11 +614,11 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 sd_s = rng.fold_in(seed0, s)
             else:
                 sd_s = pltpu.bitcast(seeds_ref[s], jnp.uint32)
-            (v_r, v_g, v_b), _, (u, v, (ldx, ldy)) = fwd_sample(
+            (v_r, v_g, v_b), _, (u, v, (ldx, ldy)), d_len = fwd_sample(
                 sd_s, True, s)
 
             def rev_body(k, carry):
-                d = dyn_depth - 1 - k
+                d = d_len - 1 - k
                 (d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,
                  d_cr, d_cg, d_cb) = carry
                 ox = res_ref[d, _R_OX]
@@ -772,7 +776,10 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 return (*n_ro, *n_rd, *n_thr)
 
             carry = tuple(zero for _ in range(9))
-            carry = jax.lax.fori_loop(0, dyn_depth, rev_body, carry)
+            # trip count = this sample's tile-max path length (not the
+            # static depth): short-path tiles skip the dead tail's
+            # attribute gathers and bounce VJPs entirely
+            carry = jax.lax.fori_loop(0, d_len, rev_body, carry)
             (d_ox, d_oy, d_oz, d_dx, d_dy, d_dz, _, _, _) = carry
 
             # effective origin cotangent: the ray dir d = L + uH + vV - o
