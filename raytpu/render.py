@@ -85,7 +85,7 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
-def _grad_impl(scene, cam, target, cfg, backend, vis_w):
+def _grad_impl(scene, cam, target, cfg, backend, vis_w, bvh=None):
     def loss_fn(scene_, cam_):
         if backend == "golden":
             # hand-structured adjoint: forward bit-identical to golden,
@@ -94,7 +94,8 @@ def _grad_impl(scene, cam, target, cfg, backend, vis_w):
             img = adjoint.render_golden_adjoint(scene_, cam_, cfg, vis_w)
         else:
             from raytpu.kernels import megakernel
-            img = megakernel.render_pallas(scene_, cam_, cfg, vis_w=vis_w)
+            img = megakernel.render_pallas(scene_, cam_, cfg, vis_w=vis_w,
+                                           bvh=bvh)
         loss = jnp.mean((img - target) ** 2)
         return loss, img
 
@@ -105,15 +106,19 @@ def _grad_impl(scene, cam, target, cfg, backend, vis_w):
 
 
 def render_grad(scene: Scene, cam: Camera, cfg: RenderConfig, target,
-                backend: str = "auto", vis_w: float = 0.0):
+                backend: str = "auto", vis_w: float = 0.0, bvh=None):
     """MSE loss against ``target`` + gradients w.r.t. (scene, camera).
 
     Returns (loss, image, (scene_grads, camera_grads)).  ``vis_w > 0``
     adds silhouette (boundary) gradients for geometry optimization —
     forward values stay the exact hard render (see raytpu/adjoint.py).
+    ``bvh`` accelerates large scenes on the pallas path (forward AND
+    the fused VJP kernel's sweeps); the golden/adjoint path ignores it.
     """
     backend = _backend(backend)
     if backend == "wavefront":
         backend = "pallas"  # grads flow through the same fused VJP
+    if backend == "golden":
+        bvh = None  # the adjoint is the brute-force oracle
     return _grad_impl(scene, cam, jnp.asarray(target, jnp.float32),
-                      cfg, backend, float(vis_w))
+                      cfg, backend, float(vis_w), bvh=bvh)
