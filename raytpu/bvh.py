@@ -51,6 +51,20 @@ import jax.numpy as jnp
 from raytpu.scene import Scene
 
 
+def outlier_tail(perm, flat, leaf_size):
+    """(base, count) of the split-out outlier tail (see
+    build_bvh(split_outliers=...)), or None.  Derived from STATIC
+    shapes only — perm rows beyond the padded leaf entries are the
+    outliers — so it is computable on traced operands inside jit.
+    THE single source of truth for the tail layout (kernels and
+    BVH.n_outliers both call it)."""
+    if flat is None or not leaf_size:
+        return None
+    base = (flat.shape[0] // 8) * leaf_size
+    cnt = int(perm.shape[0]) - base
+    return (base, cnt) if cnt else None
+
+
 @functools.partial(jax.tree_util.register_dataclass,
                    data_fields=["nodes", "perm", "flat"],
                    meta_fields=["leaf_size"])
@@ -79,9 +93,8 @@ class BVH:
         padded leaf entries, and kernels test them unconditionally
         before the walk.  Derived from static shapes (perm length minus
         leaves x leaf_size) so it needs no extra custom_vjp plumbing."""
-        if self.flat is None or self.leaf_size is None:
-            return 0
-        return int(self.perm.shape[0]) - self.n_leaves * self.leaf_size
+        tail = outlier_tail(self.perm, self.flat, self.leaf_size)
+        return 0 if tail is None else tail[1]
 
     @property
     def n_nodes(self) -> int:
@@ -175,6 +188,9 @@ def _flat_leaves(nodes_arr: np.ndarray) -> np.ndarray:
     return np.stack([c[c[:, 7] > 0] for c in copies]).reshape(-1, 9)
 
 
+_MAX_OUTLIERS = 4
+
+
 def build_bvh(scene: Scene, leaf_size: int = 64, pad: float = 1e-4,
               use_native: bool = True, pad_leaves: bool = True,
               builder: str = "median",
@@ -231,6 +247,12 @@ def build_bvh(scene: Scene, leaf_size: int = 64, pad: float = 1e-4,
     if split_outliers and pad_leaves and n_total >= 2:
         r_abs = np.abs(radius)
         out_mask = r_abs > 10.0 * max(float(np.median(r_abs)), 1e-6)
+        # every outlier becomes a statically-unrolled unconditional
+        # sphere test per bounce in every kernel: past a handful that
+        # defeats the tree (and bloats Mosaic compile time), so a large
+        # "outlier" population stays in the tree instead
+        if int(out_mask.sum()) > _MAX_OUTLIERS:
+            out_mask[:] = False
         if out_mask.any():
             keep = np.nonzero(~out_mask)[0]
             outliers = np.nonzero(out_mask)[0]

@@ -396,11 +396,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 attrs = _onehot_attrs(fat_ref[:, :], fat_pad, idxf)
                 return idxf, tb < _INF, attrs
 
-            if outliers is not None:
-                # split-out outliers: unconditional tests seed t_best
-                # before the walk (see megakernel._flat_sweep_ti)
-                for kk in range(outliers[1]):
-                    hs0 = body(jnp.int32(outliers[0] + kk), hs0)
+            from raytpu.kernels.megakernel import _seed_outlier_tests
+            hs0 = _seed_outlier_tests(body, hs0, outliers)
 
             def t_cond(ts):
                 return ts[0] < dyn_nodes
@@ -522,22 +519,12 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
             st = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
                   one, one, one, zero, zero, zero, one, sd)
-            if store:
-                # clear the mask planes for depths the early exit skips
-                # (their other planes hold the previous sample's finite
-                # values; the tile-start full clear handles boot garbage)
-                def clr(d, _):
-                    res_ref[d, _R_SCAT] = zero
-                    res_ref[d, _R_MISS] = zero
-                    return 0
-                jax.lax.fori_loop(0, dyn_depth, clr, 0)
-            elif store_idx:
-                # PASS 1: depths the early exit skips must replay as
-                # "no hit" (also covers scratch boot garbage)
-                def clr_idx(d, _):
-                    idx_ref[s, d] = zero - 1.0
-                    return 0
-                jax.lax.fori_loop(0, dyn_depth, clr_idx, 0)
+            # no mask/idx clearing for early-exit-skipped depths: the
+            # reverse sweep reads residuals only in [0, st[0]) — rows
+            # this while loop overwrites — and PASS 2's replay reaches
+            # exactly PASS 1's exit depth (identical state evolution),
+            # so stale rows beyond it are never read.  Boot garbage is
+            # covered by the tile-start full_clr.
             st = jax.lax.while_loop(cond, body, st)
             # st[0] = bounces processed before the whole-tile exit: the
             # reverse sweep only needs [0, st[0]) — deeper residual rows

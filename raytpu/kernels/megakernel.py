@@ -180,6 +180,19 @@ def _onehot_attrs(fat, at_pad, idxf):
         for k in range(9))
 
 
+def _seed_outlier_tests(body, state, outliers):
+    """Unroll the split-out outliers' unconditional sphere tests into
+    ``state`` before a walk (see bvh.build_bvh(split_outliers=...)).
+    ``body(j, state)`` is the sweep's per-sphere test — SHARED by the
+    (t, idx) sweep, both hs-state walks, and the VJP kernel's
+    closest_hit (CLAUDE.md lockstep rule)."""
+    if outliers is not None:
+        base, cnt = outliers
+        for kk in range(cnt):
+            state = body(jnp.int32(base + kk), state)
+    return state
+
+
 def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
                    rays, inv_d, a, inv_a, alive, outliers=None):
     """Flat leaf-list closest-hit sweep -> (t_best, winner-index f32,
@@ -258,11 +271,8 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
 
         return jax.lax.cond(anyhit, do_leaf, lambda t: t, ti)
 
-    ti0 = (zero + _INF, zero - 1.0)
-    if outliers is not None:
-        base, cnt = outliers
-        for kk in range(cnt):
-            ti0 = sphere_body_ti(jnp.int32(base + kk), ti0)
+    ti0 = _seed_outlier_tests(sphere_body_ti,
+                              (zero + _INF, zero - 1.0), outliers)
     return jax.lax.fori_loop(0, dyn_nodes, leaf_iter_ti, ti0)
 
 
@@ -474,12 +484,7 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                       h_mt, h_ar, h_ag, h_ab, h_mp)
             elif flat_leaves:
                 assert static_leaf, "flat traversal needs padded leaves"
-                if outliers is not None:
-                    # split-out outliers: unconditional tests seed
-                    # t_best before the walk (see _flat_sweep_ti)
-                    for kk in range(outliers[1]):
-                        hs0 = sphere_body(jnp.int32(outliers[0] + kk),
-                                          hs0)
+                hs0 = _seed_outlier_tests(sphere_body, hs0, outliers)
 
                 def leaf_iter(k, hs):
                     tb = hs[0]
@@ -520,12 +525,7 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                 else:
                     hs = jax.lax.fori_loop(0, dyn_nodes, leaf_iter, hs0)
             else:
-                if outliers is not None:
-                    # split-out outliers: unconditional tests seed
-                    # t_best before the walk (see _flat_sweep_ti)
-                    for kk in range(outliers[1]):
-                        hs0 = sphere_body(jnp.int32(outliers[0] + kk),
-                                          hs0)
+                hs0 = _seed_outlier_tests(sphere_body, hs0, outliers)
 
                 def t_cond(ts):
                     return ts[0] < dyn_nodes
@@ -832,15 +832,10 @@ def make_refill_step(bounce, gen_ray, seed0, dyn_depth_f, dyn_spp_f,
 
 
 def _bvh_outliers(perm, flat, leaf_size):
-    """(base, count) of the split-out outlier tail (see
-    bvh.build_bvh(split_outliers=...)), or None.  Derived from STATIC
-    shapes only — perm rows beyond the padded leaf entries are the
-    outliers — so it is computable on traced operands inside jit."""
-    if flat is None or not leaf_size:
-        return None
-    base = (flat.shape[0] // 8) * leaf_size
-    cnt = int(perm.shape[0]) - base
-    return (base, cnt) if cnt else None
+    """(base, count) of the split-out outlier tail, or None — see
+    bvh.outlier_tail (the single source of truth for the layout)."""
+    from raytpu.bvh import outlier_tail
+    return outlier_tail(perm, flat, leaf_size)
 
 
 def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,

@@ -380,3 +380,21 @@ def test_silhouette_grads_bvh_matches_plain():
         c = np.asarray(getattr(ds1, k))
         scale = max(np.abs(a).max(), 1e-8)
         np.testing.assert_allclose(c, a, atol=1e-5 * scale, rtol=1e-4)
+
+
+def test_outlier_split_caps_large_populations():
+    """A bimodal-radius scene (many 'outliers') must NOT split: each
+    split sphere becomes a statically-unrolled unconditional test per
+    bounce, which past a handful defeats the tree."""
+    rs = np.random.default_rng(0)
+    rows = []
+    for i in range(48):
+        big = i % 2 == 0
+        rows.append((tuple(rs.uniform(-20, 20, 3)),
+                     100.0 if big else 1.0, 0, (0.5, 0.5, 0.5), 0.0))
+    scene = raytpu.make_scene(rows)
+    b = bvh_mod.build_bvh(scene, leaf_size=8)
+    assert b.n_outliers == 0
+    # ... but a handful still splits
+    scene2 = raytpu.final_world()
+    assert bvh_mod.build_bvh(scene2, leaf_size=8).n_outliers == 1
