@@ -77,6 +77,14 @@ _TIDX = os.environ.get("RAYTPU_TIDX", "1") != "0"
 # Mrays/s; config 4 (500): refill 2x).  RAYTPU_REFILL_MIN=0 forces
 # refill everywhere.
 _REFILL_MIN = int(os.environ.get("RAYTPU_REFILL_MIN", "48"))
+# multi-tile persistent refill: each kernel instance owns up to this
+# many stacked row-tiles and refill continues ACROSS them, so the while
+# -loop's path-length tail (tile max-lane total work vs mean; measured
+# ~21% of the config-4 frame via the spp=20 vs spp=100 rays/s gap,
+# scripts/probe_tail.py) is paid once per group instead of per tile.
+# The actual factor is the largest divisor of the frame's row-tile
+# count <= this cap.  RAYTPU_MULTI_TILE=1 disables.
+_MULTI_TILE = int(os.environ.get("RAYTPU_MULTI_TILE", "8"))
 # RAYTPU_STRIDE=1 (+ block_w=128): strided pixel interleave — tail
 # -decorrelation experiment for the refill loop.  MEASURED NEGATIVE on
 # config 4 (15 vs 33 Mrays/s): scattering a tile's lanes across the
@@ -742,11 +750,11 @@ def make_gen_ray(cam_ref, fx, fy, inv_w, inv_h):
     lens_r = cam_ref[18]
     defocus = lens_r > 0
 
-    def gen_ray(sd):
+    def gen_ray(sd, fy_cur=None):
         (j1a, _), sd = rng.hash2(sd)
         (_, j2b), sd = rng.hash2(sd)
         u = (fx + j1a * 1.1) * inv_w
-        v = (fy + j2b * 1.1) * inv_h
+        v = ((fy if fy_cur is None else fy_cur) + j2b * 1.1) * inv_h
         (ldx, ldy), sd_lens = rng.random_in_unit_disk(sd)
         sd = jnp.where(defocus, sd_lens, sd)
         rdx_l = lens_r * ldx
@@ -766,7 +774,8 @@ def make_gen_ray(cam_ref, fx, fy, inv_w, inv_h):
 
 
 def make_refill_step(bounce, gen_ray, seed0, dyn_depth_f, dyn_spp_f,
-                     parallel, sample_base, sample_stride: int = 1):
+                     parallel, sample_base, sample_stride: int = 1,
+                     multi=None):
     """Persistent-sample-refill step factory -> ``body(st) -> st`` over
     the 19-element per-lane state
 
@@ -781,8 +790,84 @@ def make_refill_step(bounce, gen_ray, seed0, dyn_depth_f, dyn_spp_f,
     passes (dyn_s0, 1); the refill wavefront passes (its per-lane
     sample-slot index, spp_batch).  Shared op-for-op by the megakernel
     and the refill-wavefront segment kernel (CLAUDE.md lockstep
-    rule)."""
+    rule).
+
+    ``multi = (n_tiles, hop, py0_i, px_u32, fy0, flush)`` selects the
+    MULTI-TILE persistent variant (parallel RNG only): the state grows
+    a 20th plane ``m_pl`` (the lane's current tile within its group,
+    f32) and a lane that exhausts tile m's spp budget flushes its
+    accumulators via ``flush(mask, m_pl, fr, fg, fb)`` (a predicated
+    RMW into the output block's rows [8m, 8m+8)) and respawns sample 0
+    of the SAME lane position ``hop`` PIXEL rows down (tile m+1, where
+    hop = the tiling's block_h) — so the while loop's path-length tail
+    (tile max-lane vs mean total work) is paid once per n_tiles tiles
+    instead of per tile.  Per-pixel seeds and accumulation order are
+    exactly the single-tile loop's (seeds re-derive from absolute
+    coords), so images stay BIT-identical."""
     stride = jnp.uint32(sample_stride)
+
+    if multi is not None:
+        assert parallel, "multi-tile refill needs parallel RNG streams"
+        n_tiles, hop, py0_i, px_u32, fy0, flush = multi
+        n_tiles_f = jnp.float32(n_tiles)
+
+        def body_mt(st):
+            (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+             alive_f, sd, s_pl, d_pl, ar, ag, ab, m_pl) = st
+            was = alive_f > 0
+            bst = bounce((jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                          cr, cg, cb, rr, rg, rb, alive_f, sd))
+            (_, ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+             alive_f, sd) = bst
+            d_pl = jnp.where(was, d_pl + 1.0, d_pl)
+            fin = was & ((alive_f <= 0) | (d_pl >= dyn_depth_f))
+            s_next = s_pl + 1.0
+            tile_done = fin & (s_next >= dyn_spp_f)
+            m_next = jnp.where(tile_done, m_pl + 1.0, m_pl)
+            more = fin & ((s_next < dyn_spp_f) | (m_next < n_tiles_f))
+            fr = ar + rr
+            fg = ag + rg
+            fb = ab + rb
+            flush(tile_done, m_pl, fr, fg, fb)
+            ar = jnp.where(tile_done, 0.0, jnp.where(fin, fr, ar))
+            ag = jnp.where(tile_done, 0.0, jnp.where(fin, fg, ag))
+            ab = jnp.where(tile_done, 0.0, jnp.where(fin, fb, ab))
+            s_eff = jnp.where(tile_done, 0.0, s_next)
+            # respawn in the lane's CURRENT tile (m_next): re-derive the
+            # pixel seed from absolute coords (f32 -> i32 -> u32 hop —
+            # Mosaic has no f32->u32 cast; m is a small non-negative
+            # count so the values are identical)
+            m_i = m_next.astype(jnp.int32)
+            py_u = (py0_i + hop * m_i).astype(jnp.uint32)
+            seed0_cur = rng.pixel_seed(px_u32, py_u)
+            sd_r = rng.fold_in(
+                seed0_cur, s_eff.astype(jnp.int32)
+                .astype(jnp.uint32) * stride + sample_base)
+            fy_cur = fy0 + jnp.float32(hop) * m_next
+            nox, noy, noz, ndx, ndy, ndz, sd_n = gen_ray(sd_r, fy_cur)
+            ox = jnp.where(more, nox, ox)
+            oy = jnp.where(more, noy, oy)
+            oz = jnp.where(more, noz, oz)
+            dx = jnp.where(more, ndx, dx)
+            dy = jnp.where(more, ndy, dy)
+            dz = jnp.where(more, ndz, dz)
+            cr = jnp.where(more, 1.0, cr)
+            cg = jnp.where(more, 1.0, cg)
+            cb = jnp.where(more, 1.0, cb)
+            rr = jnp.where(fin, 0.0, rr)
+            rg = jnp.where(fin, 0.0, rg)
+            rb = jnp.where(fin, 0.0, rb)
+            sd = jnp.where(more, sd_n, sd)
+            s_pl = jnp.where(tile_done, 0.0,
+                             jnp.where(fin, s_next, s_pl))
+            d_pl = jnp.where(more, 0.0, d_pl)
+            m_pl = m_next
+            alive_f = jnp.where(
+                fin, jnp.where(more, 1.0, 0.0), alive_f)
+            return (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
+                    alive_f, sd, s_pl, d_pl, ar, ag, ab, m_pl)
+
+        return body_mt
 
     def body(st):
         (ox, oy, oz, dx, dy, dz, cr, cg, cb, rr, rg, rb,
@@ -845,7 +930,8 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                  dense_pad: int | None = None,
                  flat_at_pad: int | None = None,
                  strided: bool = False,
-                 outliers: tuple | None = None):
+                 outliers: tuple | None = None,
+                 multi_tile: int = 1):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -856,6 +942,11 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
     gamma = cfg.gamma
     block_h = (_TILE_H * _TILE_W) // block_w
     refill = (not _NO_EARLY_EXIT) and n_spheres >= _REFILL_MIN
+    if multi_tile > 1:
+        assert (refill and parallel and not carry_state
+                and not strided), (
+            "multi-tile needs the refill loop, parallel RNG and no "
+            "carried state")
 
     def kernel(cam_ref, sc_ref, *rest):
         mx_ref = at_ref = fat_ref = None
@@ -894,7 +985,11 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
             px = (tj
                   + gj * jax.lax.broadcasted_iota(jnp.int32, shape, 1))
         elif block_w == _TILE_W:
-            py = (row0 + ti * _TILE_H
+            # multi_tile > 1: this instance owns multi_tile stacked row
+            # -tiles; py covers the FIRST (lanes advance by 8-row hops
+            # as their per-tile spp budgets exhaust — see the multi
+            # branch of make_refill_step)
+            py = (row0 + ti * (_TILE_H * multi_tile)
                   + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
             px = (tj * _TILE_W
                   + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
@@ -904,9 +999,11 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
             # strip — the tile's view frustum shrinks ~(128/block_w)x
             # horizontally, so the tile-coherent BVH walk culls far more
             # (outputs are in block layout; the host unscrambles).
+            # multi_tile > 1: py covers the instance's FIRST block;
+            # lanes hop block_h pixel rows down per exhausted block.
             m = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * _TILE_W
                  + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
-            py = row0 + ti * block_h + m // block_w
+            py = row0 + ti * (block_h * multi_tile) + m // block_w
             px = tj * block_w + m % block_w
         if carry_state and not parallel:
             # sequential progressive: resume each pixel's seed chain
@@ -1005,6 +1102,39 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
 
             def cond(st):
                 return jnp.max(st[12]) > 0
+
+            if multi_tile > 1:
+                # zero the output block (VMEM boots as garbage on
+                # hardware); per-lane accumulators flush into it via
+                # predicated RMW as each lane finishes a tile's spp
+                out_z = jnp.zeros((multi_tile * _TILE_H, _TILE_W),
+                                  jnp.float32)
+                r_ref[:, :] = out_z
+                g_ref[:, :] = out_z
+                b_ref[:, :] = out_z
+
+                def flush(mask, m_pl, fr, fg, fb):
+                    for m in range(multi_tile):
+                        mm = mask & (m_pl == jnp.float32(m))
+                        sl = slice(m * _TILE_H, (m + 1) * _TILE_H)
+                        for ref, v in ((r_ref, fr), (g_ref, fg),
+                                       (b_ref, fb)):
+                            cur = ref[sl, :]
+                            ref[sl, :] = jnp.where(mm, cur + v, cur)
+
+                body = make_refill_step(
+                    bounce, gen_ray, seed0, dyn_depth_f, dyn_spp_f,
+                    parallel, dyn_s0,
+                    multi=(multi_tile, block_h, py,
+                           px.astype(jnp.uint32), fy, flush))
+                st = (iox, ioy, ioz, idx_, idy, idz, one, one, one,
+                      zero, zero, zero, one, sd_i, zero, zero, *acc0,
+                      zero)
+                st = jax.lax.while_loop(cond, body, st)
+                r_ref[:, :] = _to_gamma(r_ref[:, :] * inv_spp, gamma)
+                g_ref[:, :] = _to_gamma(g_ref[:, :] * inv_spp, gamma)
+                b_ref[:, :] = _to_gamma(b_ref[:, :] * inv_spp, gamma)
+                return
 
             body = make_refill_step(bounce, gen_ray, seed0, dyn_depth_f,
                                     dyn_spp_f, parallel, dyn_s0)
@@ -1130,29 +1260,40 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
     wp = -(-w // block_w) * block_w
     grid = (hp // block_h, wp // block_w)
     n = scene.count
+    strided = _STRIDED and block_w == _TILE_W
+
+    # multi-tile persistent refill (see _MULTI_TILE): group stacked row
+    # -tiles into one kernel instance when the refill loop is the
+    # engine (parallel RNG, row tiling).  mt=1 is the plain layout.
+    mt = 1
+    if (_MULTI_TILE > 1 and not strided
+            and cfg.rng_mode == "parallel"
+            and (not _NO_EARLY_EXIT) and n >= _REFILL_MIN):
+        mt = max(d for d in range(1, _MULTI_TILE + 1)
+                 if grid[0] % d == 0)
+    grid = (grid[0] // mt, grid[1])
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shape = (grid[0] * _TILE_H, grid[1] * _TILE_W)
+    out_shape = (grid[0] * mt * _TILE_H, grid[1] * _TILE_W)
     if vma is None:
         out = jax.ShapeDtypeStruct(out_shape, jnp.float32)
     else:
         out = jax.ShapeDtypeStruct(out_shape, jnp.float32,
                                    vma=frozenset(vma))
-    plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
+    plane = pl.BlockSpec((mt * _TILE_H, _TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
-    strided = _STRIDED and block_w == _TILE_W
     if _use_dense(n, interpret, has_bvh=nodes is not None):
         # dense hit stage: every sphere tested as (n_pad, W) planes; a
         # provided BVH is ignored (only reachable with RAYTPU_DENSE=1)
         mx, at, n_pad = _pack_dense(scene)
         kernel = _make_kernel(cfg, n, block_w=block_w, dense_pad=n_pad,
-                              strided=strided)
+                              strided=strided, multi_tile=mt)
         operands = (_pack_camera(cam, cfg, n, 0, row0),
                     _pack_scene(scene), mx, at)
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         in_specs = [smem, smem, vmem, vmem]
     elif nodes is None:
-        kernel = _make_kernel(cfg, n, block_w=block_w, strided=strided)
+        kernel = _make_kernel(cfg, n, block_w=block_w, strided=strided, multi_tile=mt)
         operands = (_pack_camera(cam, cfg, n, 0, row0), _pack_scene(scene))
         in_specs = [smem, smem]
     else:
@@ -1176,7 +1317,7 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
             kernel = _make_kernel(cfg, n, n_nodes=m, block_w=block_w,
                                   static_leaf=leaf_size,
                                   flat_leaves=True, flat_at_pad=fat_pad,
-                                  strided=strided, outliers=outl)
+                                  strided=strided, outliers=outl, multi_tile=mt)
             operands = (_pack_camera(cam, cfg, n, m, row0),
                         packed, fat, nd.T.astype(jnp.float32))
             in_specs = [smem, smem,
@@ -1185,7 +1326,7 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
             kernel = _make_kernel(cfg, n, n_nodes=m, block_w=block_w,
                                   static_leaf=leaf_size,
                                   flat_leaves=use_flat,
-                                  strided=strided, outliers=outl)
+                                  strided=strided, outliers=outl, multi_tile=mt)
             operands = (_pack_camera(cam, cfg, n, m, row0),
                         packed, nd.T.astype(jnp.float32))
             in_specs = [smem, smem, smem]
@@ -1198,7 +1339,10 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
         interpret=interpret,
     )(*operands)
     if block_w != _TILE_W:
-        r, g, b = (_unscramble(x, grid, block_h, block_w)
+        # unscramble sees the tile-granular grid (multi-tile groups are
+        # laid out as mt consecutive tiles, same order as mt=1)
+        r, g, b = (_unscramble(x, (grid[0] * mt, grid[1]),
+                               block_h, block_w)
                    for x in (r, g, b))
     elif strided:
         r, g, b = (_unstride(x, grid) for x in (r, g, b))

@@ -88,6 +88,50 @@ def test_refill_bit_equal_sequential(monkeypatch):
     np.testing.assert_array_equal(seqp, refp)
 
 
+def test_multi_tile_refill_bit_equal(monkeypatch):
+    # the MULTI-TILE persistent refill (one kernel instance owns mt
+    # stacked row-tiles; lanes hop 8 rows down as their per-tile spp
+    # budgets exhaust, flushing accumulators into the output block by
+    # predicated RMW) must be bit-identical to the single-tile refill
+    # loop and to golden — seeds re-derive from absolute pixel coords
+    cfgp = RenderConfig(width=64, height=40, spp=3, depth=6,
+                        rng_mode="parallel")
+    scene = raytpu.test_world()
+    cam = _cam(cfgp.aspect)
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 0)
+    monkeypatch.setattr(megakernel, "_MULTI_TILE", 8)  # 40/8=5 -> mt=5
+    mt = np.asarray(megakernel.render_pallas(scene, cam, cfgp,
+                                             interpret=True))
+    monkeypatch.setattr(megakernel, "_MULTI_TILE", 1)
+    single = np.asarray(megakernel.render_pallas(scene, cam, cfgp,
+                                                 interpret=True))
+    np.testing.assert_array_equal(mt, single)
+    np.testing.assert_array_equal(
+        mt, np.asarray(golden.render_golden(scene, cam, cfgp)))
+
+    # defocus camera: the respawn's jitter/lens RNG order and the fy
+    # row-hop must survive the thin-lens raygen path
+    cam_dof = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
+                                 vfov=20.0, aspect=cfgp.aspect,
+                                 aperture=0.4, focus_dist=10.0)
+    monkeypatch.setattr(megakernel, "_MULTI_TILE", 8)
+    mt_d = np.asarray(megakernel.render_pallas(scene, cam_dof, cfgp,
+                                               interpret=True))
+    np.testing.assert_array_equal(
+        mt_d, np.asarray(golden.render_golden(scene, cam_dof, cfgp)))
+
+    # BVH flat (t, idx) path with an outlier-split ground sphere, via
+    # the default square-block tiling (block_w=32: hop = block_h = 32
+    # pixel rows, outputs unscrambled from block layout)
+    from raytpu.bvh import build_bvh
+    big = raytpu.random_world(half_extent=2)
+    b = build_bvh(big, leaf_size=8)
+    mt_b = np.asarray(megakernel.render_pallas(
+        big, cam, cfgp, interpret=True, bvh=b))
+    np.testing.assert_array_equal(
+        mt_b, np.asarray(golden.render_golden(big, cam, cfgp)))
+
+
 def test_fuzz_scenes_all_hit_modes_match_golden(monkeypatch):
     # randomized scenes with hollow-glass negative radii, tiny and
     # huge spheres: every hit mode (brute loop, flat tidx, flat
