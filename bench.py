@@ -362,6 +362,38 @@ def bench_grad_sweep(extra):
     extra["gradkernel_fd_rel_err"] = fd_errs
     extra["gradkernel_rel_err_max"] = round(worst, 6)
 
+    # camera components against the CPU-f64 golden-autodiff ground
+    # truth (subprocess — keeps this process's f32/u32 TPU world
+    # intact).  d_origin is a ~800x-cancelling difference of two sums
+    # (scripts/probe_cam_grad.py): BOTH f32 estimators sit at the
+    # amplified noise floor, so kernel-vs-XLA alone (the rows above)
+    # overstates the kernel's error; these rows are each estimator's
+    # TRUE error.
+    import subprocess
+    import sys as _sys
+    import os as _os
+    pys, pxs = probes_for(1)
+    pr = ",".join(str(int(v)) for v in pys) + ";" + \
+        ",".join(str(int(v)) for v in pxs)
+    out = subprocess.run(
+        [_sys.executable, "-m", "scripts.probe_cam_grad", "cpu",
+         "--json", "--probes", pr,
+         "--spec", f"{cfg.width},{cfg.height},{cfg.spp},{cfg.depth}"],
+        capture_output=True, text=True, timeout=1200,
+        cwd=_os.path.dirname(_os.path.abspath(__file__)))
+    ref = json.loads(out.stdout.strip().splitlines()[-1])
+    ct = ct_for(pys, pxs)
+    _, dc_k = kernel_grads(scene, cam, ct)
+    _, dc_a = autodiff_grads(scene, cam, ct)
+    cam_f64 = {}
+    for comp in ("origin", "lower_left"):
+        truth = np.array(ref[comp])
+        for est, dc_ in (("kernel", dc_k), ("xla", dc_a)):
+            err = np.abs(np.asarray(getattr(dc_, comp)) - truth) \
+                / np.maximum(np.abs(truth), 1e-6)
+            cam_f64[f"{est}_{comp}"] = round(float(err.max()), 6)
+    extra["cam_grad_vs_f64"] = cam_f64
+
     # the PASS-1-elided kernel (parallel RNG + forward image operand)
     # on hardware: albedo probe vs golden autodiff in the same RNG mode
     cfg_p = cfg.replace(rng_mode="parallel")

@@ -333,7 +333,10 @@ def accumulate_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
     fy = py.astype(jnp.float32)
     inv_w = jnp.float32(1.0 / (cfg.width - 1))
     inv_h = jnp.float32(1.0 / (cfg.height - 1))
-    zero = fx * 0.0  # input-derived: see trace() varying-axis note
+    # input-derived (see trace() varying-axis note); dtype follows the
+    # scene so an f64 scene yields an f64 carry (the f64-ground-truth
+    # path of scripts/probe_cam_grad.py — f32 scenes are unchanged)
+    zero = (fx * 0.0).astype(scene.center.dtype)
     if init is None:
         init = (zero, zero, zero)
     parallel = cfg.rng_mode == "parallel"

@@ -182,6 +182,21 @@ _R_CR, _R_CG, _R_CB, _R_IDX, _R_SCAT, _R_MISS, _R_SEED = 6, 7, 8, 9, 10, 11, 12
 _R_ATTR0 = 13          # 9 winner-attribute planes (cx cy cz rad mt ar ag ab mp)
 _NRES = 22
 _NCAM_SUMS = 18
+
+# refill-PASS-2 residual layout: planes per GLOBAL STEP, not per
+# (sample, bounce) — see the p2_refill branch of _make_grad_kernel.
+# u/v/lens draws are NOT stored: the reverse sweep re-derives them from
+# the stored sample index by fold_in (parallel RNG only).
+(_WR_OX, _WR_OY, _WR_OZ, _WR_DX, _WR_DY, _WR_DZ,
+ _WR_CR, _WR_CG, _WR_CB, _WR_IDX, _WR_FLG, _WR_SEED, _WR_SPL) = range(13)
+_NWREFILL = 13
+# flag bits in the _WR_FLG plane (i32 bitcast)
+_F_SCAT, _F_MISS, _F_FRESH, _F_FIN = 1, 2, 4, 8
+# residual-step VMEM budget for the refill PASS 2 (per-window step cap;
+# lanes park at a sample boundary when the buffer can't fit another
+# full-depth sample, and the outer window loop resumes them)
+_P2_VMEM_BUDGET = int(__import__("os").environ.get(
+    "RAYTPU_P2_VMEM", 6 * 2**20))
 # PASS-1 winner-index planes (spp x depth x tile) are stored only when
 # they fit this VMEM budget; beyond it PASS 2 falls back to re-running
 # the closest-hit sweep (REFERENCE_V2's 60 spp x depth 50 would need
@@ -196,12 +211,18 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                       flat_leaves: bool = False,
                       fat_pad: int | None = None,
                       skip_p1: bool = False,
-                      outliers: tuple | None = None):
+                      outliers: tuple | None = None,
+                      p2_refill: bool = False,
+                      p2_steps: int = 0):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
     assert not (skip_p1 and not parallel), \
         "PASS-1 elision needs order-free per-sample seeds (parallel RNG)"
+    assert not (p2_refill and not skip_p1), \
+        "refill PASS 2 needs fold_in sample streams + the image operand"
+    assert not p2_refill or p2_steps >= depth, \
+        "the step window must fit at least one full-depth sample"
     t_min = np.float32(cfg.t_min)
     inv_w = np.float32(1.0 / (cfg.width - 1))
     inv_h = np.float32(1.0 / (cfg.height - 1))
@@ -273,7 +294,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
         def _():
             gsc_acc[:, :] = jnp.zeros(
                 (16, gsc_acc.shape[1]), jnp.float32)
-            for i in range(32):
+            for i in range(gcam_acc.shape[1]):
                 gcam_acc[0, i] = 0.0
 
         def scatter_attr_grads(idxm_f, g9):
@@ -535,12 +556,15 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
         # scratch boots as GARBAGE on hardware: inf/NaN at skipped depths
         # would poison the reverse sweep through 0 * inf in the where
         # transposes.  Benign defaults: unit direction, everything else 0.
-        def full_clr(d, _):
-            for k in range(_NRES):
-                res_ref[d, k] = one if k == _R_DZ else zero
-            return 0
+        # (The refill PASS 2 needs no clearing: its reverse reads exactly
+        # the rows [0, g_hi) that the SAME window's forward just wrote.)
+        if not p2_refill:
+            def full_clr(d, _):
+                for k in range(_NRES):
+                    res_ref[d, k] = one if k == _R_DZ else zero
+                return 0
 
-        jax.lax.fori_loop(0, dyn_depth, full_clr, 0)
+            jax.lax.fori_loop(0, dyn_depth, full_clr, 0)
 
         # ---- PASS 1: forward all samples -> linear sums.  Elided when
         # the caller supplies the forward image (skip_p1): the cotangent
@@ -787,13 +811,348 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 jnp.sum(ldy * eo_x), jnp.sum(ldy * eo_y),
                 jnp.sum(ldy * eo_z),
             )
-            return tuple(a + b for a, b in zip(cam_sums, sums))
+            # Kahan-compensated across the spp chain: d_origin is a
+            # ~800x-cancelling difference of these sums (see
+            # scripts/probe_cam_grad.py), so sequential f32 adds over
+            # spp x tiles are the one noise source we CAN remove
+            out = []
+            comp = []
+            for i in range(_NCAM_SUMS):
+                s, c = cam_sums[i], cam_sums[_NCAM_SUMS + i]
+                y = sums[i] - c
+                t = s + y
+                comp.append((t - s) - y)
+                out.append(t)
+            return (*out, *comp)
 
-        cam_sums = jax.lax.fori_loop(
-            0, dyn_spp, p2_body,
-            tuple(jnp.float32(0.0) for _ in range(_NCAM_SUMS)))
-        for i in range(_NCAM_SUMS):
-            gcam_acc[0, i] += cam_sums[i]
+        def kahan_fold(i, v):
+            # cross-tile/window chain: compensated adds, SMEM slots
+            # [32, 50) hold the running compensations
+            y = v - gcam_acc[0, 32 + i]
+            t = gcam_acc[0, i] + y
+            gcam_acc[0, 32 + i] = (t - gcam_acc[0, i]) - y
+            gcam_acc[0, i] = t
+
+        if not p2_refill:
+            cam_sums = jax.lax.fori_loop(
+                0, dyn_spp, p2_body,
+                tuple(jnp.float32(0.0) for _ in range(2 * _NCAM_SUMS)))
+            for i in range(_NCAM_SUMS):
+                kahan_fold(i, cam_sums[i])
+        else:
+            # ---- PASS 2, windowed persistent refill (round-3 rework of
+            # the per-sample scheme above; parallel RNG + image operand
+            # only).  The per-sample loops pay the forward megakernel's
+            # old occupancy pathology TWICE: ray-alive falls to a few %
+            # after bounce 3 but both the stored forward and the reverse
+            # sweep run to the tile-max path length of every sample.
+            # Here the forward is the SAME persistent-refill state
+            # machine as the render (a lane whose sample dies respawns
+            # its pixel's next sample immediately — fold_in streams make
+            # respawn seeds order-free), storing _NWREFILL residual
+            # planes per GLOBAL STEP; one reverse sweep then walks the
+            # steps backward at the same ~100% occupancy.  Per-lane
+            # FRESH/FIN flags delimit sample segments: samples are
+            # independent (their radiances add linearly into the pixel
+            # mean, so every bounce's `out` cotangent is the same dacc),
+            # which makes reverse-global-step order equal to reversing
+            # each lane's segments newest-first — correct as long as the
+            # ray/throughput carry is cut at segment boundaries:
+            #   - at a FRESH step, the pre-state cotangent is the raygen
+            #     output cotangent -> fold into the 18 camera-sum
+            #     accumulator planes (u/v/lens draws re-derived from the
+            #     stored sample index by fold_in) and zero the carry;
+            #   - at a FIN step, the sample's total radiance (needed by
+            #     the vis_w silhouette terms) is recomputed exactly as
+            #     missed ? throughput * sky : 0 — a sample misses at
+            #     most once, at its terminal step (make_bounce_body's
+            #     add-once invariant), so no radiance planes are stored.
+            # The residual buffer holds p2_steps rows; a dying lane only
+            # respawns while a full-depth sample still fits (g + depth
+            # <= p2_steps), else it PARKS at the sample boundary and the
+            # outer window loop re-spawns it after the reverse sweep.
+            depth_f = dyn_depth.astype(jnp.float32)
+            spp_f = dyn_spp.astype(jnp.float32)
+            g_cap = jnp.int32(p2_steps)
+
+            def win_cond(st):
+                return jnp.max(st[10]) > 0
+
+            def win_body(st):
+                (g, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                 alive_f, sd, s_cur, d_pl, fresh) = st
+                alive = alive_f > 0
+                idx_f, hit_any, attrs = closest_hit(
+                    ox, oy, oz, dx, dy, dz, alive)
+                mt = attrs[4]
+                ok = (mt == 0.0) | (mt == 1.0) | (mt == 2.0)
+                scat = alive & hit_any & ok
+                missed = alive & ~hit_any
+                d_next = jnp.where(alive, d_pl + 1.0, d_pl)
+                fin = alive & ((~scat) | (d_next >= depth_f))
+                flags = (jnp.where(scat, _F_SCAT, 0)
+                         | jnp.where(missed, _F_MISS, 0)
+                         | jnp.where(fresh > 0, _F_FRESH, 0)
+                         | jnp.where(fin, _F_FIN, 0)).astype(jnp.int32)
+                res_ref[g, _WR_OX] = ox
+                res_ref[g, _WR_OY] = oy
+                res_ref[g, _WR_OZ] = oz
+                res_ref[g, _WR_DX] = dx
+                res_ref[g, _WR_DY] = dy
+                res_ref[g, _WR_DZ] = dz
+                res_ref[g, _WR_CR] = cr
+                res_ref[g, _WR_CG] = cg
+                res_ref[g, _WR_CB] = cb
+                res_ref[g, _WR_IDX] = jnp.where(scat, idx_f, -1.0)
+                res_ref[g, _WR_FLG] = pltpu.bitcast(flags, jnp.float32)
+                res_ref[g, _WR_SEED] = pltpu.bitcast(sd, jnp.float32)
+                res_ref[g, _WR_SPL] = s_cur
+                n_ro, n_rd, n_thr, _out = _bounce_f(
+                    (ox, oy, oz), (dx, dy, dz), (cr, cg, cb), attrs,
+                    (scat, missed), sd, t_min, cfg.scatter_mode)
+                _, sd_new = rng.random_in_unit_sphere(sd)
+                sd = jnp.where(scat, sd_new, sd)
+                ox, oy, oz = n_ro
+                dx, dy, dz = n_rd
+                cr, cg, cb = n_thr
+                s_next = jnp.where(fin, s_cur + 1.0, s_cur)
+                can = (g + 1 + dyn_depth) <= g_cap
+                more = fin & (s_next < spp_f) & can
+                sd_r = rng.fold_in(
+                    seed0, s_next.astype(jnp.int32).astype(jnp.uint32))
+                nray, _, _, _, sd_n = gen_ray(sd_r)
+                nox, noy, noz, ndx, ndy, ndz = nray
+                ox = jnp.where(more, nox, ox)
+                oy = jnp.where(more, noy, oy)
+                oz = jnp.where(more, noz, oz)
+                dx = jnp.where(more, ndx, dx)
+                dy = jnp.where(more, ndy, dy)
+                dz = jnp.where(more, ndz, dz)
+                cr = jnp.where(more, 1.0, cr)
+                cg = jnp.where(more, 1.0, cg)
+                cb = jnp.where(more, 1.0, cb)
+                sd = jnp.where(more, sd_n, sd)
+                alive_f = jnp.where(
+                    fin, jnp.where(more, 1.0, 0.0), alive_f)
+                d_pl = jnp.where(more, 0.0, d_next)
+                fresh = jnp.where(more, 1.0, 0.0)
+                return (g + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                        alive_f, sd, s_next, d_pl, fresh)
+
+            def outer_body(s_pl):
+                pending = s_pl < spp_f
+                sd_r = rng.fold_in(
+                    seed0, s_pl.astype(jnp.int32).astype(jnp.uint32))
+                ray0, _, _, _, sd_i = gen_ray(sd_r)
+                iox, ioy, ioz, idxr, idyr, idzr = ray0
+                pf = jnp.where(pending, 1.0, 0.0)
+                st = (jnp.int32(0), iox, ioy, ioz, idxr, idyr, idzr,
+                      one, one, one, pf, sd_i, s_pl, zero, pf)
+                st = jax.lax.while_loop(win_cond, win_body, st)
+                g_hi = st[0]
+                s_pl_out = st[12]
+
+                def rev_body(k, carry):
+                    g = g_hi - 1 - k
+                    (d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,
+                     d_cr, d_cg, d_cb, v_r, v_g, v_b) = carry[:12]
+                    sums = carry[12:]
+                    ox = res_ref[g, _WR_OX]
+                    oy = res_ref[g, _WR_OY]
+                    oz = res_ref[g, _WR_OZ]
+                    dx = res_ref[g, _WR_DX]
+                    dy = res_ref[g, _WR_DY]
+                    dz = res_ref[g, _WR_DZ]
+                    cr = res_ref[g, _WR_CR]
+                    cg = res_ref[g, _WR_CG]
+                    cb = res_ref[g, _WR_CB]
+                    idx_f = res_ref[g, _WR_IDX]
+                    flags = pltpu.bitcast(res_ref[g, _WR_FLG], jnp.int32)
+                    scat = (flags & _F_SCAT) > 0
+                    missed = (flags & _F_MISS) > 0
+                    fresh = (flags & _F_FRESH) > 0
+                    fin = (flags & _F_FIN) > 0
+                    sd_t = pltpu.bitcast(res_ref[g, _WR_SEED], jnp.uint32)
+                    s_g = res_ref[g, _WR_SPL]
+                    # winner attrs re-gathered by the exact one-hot
+                    # matmul (idx = -1 misses extract all-zero columns;
+                    # every use downstream is guarded/masked)
+                    attrs = gather_attrs(idx_f)
+                    skr, skg, skb = _sky(dx, dy, dz)
+                    # terminal step: the sample's total radiance — seen
+                    # FIRST in reverse order, so it is live for every
+                    # earlier step of the segment
+                    v_r = jnp.where(fin,
+                                    jnp.where(missed, cr * skr, 0.0), v_r)
+                    v_g = jnp.where(fin,
+                                    jnp.where(missed, cg * skg, 0.0), v_g)
+                    v_b = jnp.where(fin,
+                                    jnp.where(missed, cb * skb, 0.0), v_b)
+
+                    def f(ro, rd, thr, attrs_):
+                        return _bounce_f(ro, rd, thr, attrs_,
+                                         (scat, missed), sd_t, t_min,
+                                         cfg.scatter_mode)
+
+                    _, vjp = jax.vjp(f, (ox, oy, oz), (dx, dy, dz),
+                                     (cr, cg, cb), attrs)
+                    (n_ro, n_rd, n_thr, g_attrs) = vjp(
+                        ((d_ox, d_oy, d_oz), (d_dx, d_dy, d_dz),
+                         (d_cr, d_cg, d_cb), (dacc_r, dacc_g, dacc_b)))
+
+                    if vis_w > 0:
+                        # silhouette terms: op-for-op the per-sample
+                        # rev_body's (see p2_body above), with v from the
+                        # carry instead of the fwd_sample return
+                        vw = np.float32(vis_w)
+                        a_d = _dot3(dx, dy, dz, dx, dy, dz)
+
+                        def boundary(C_x, C_y, C_z, R_, jr, jg, jb, mask):
+                            ocx = ox - C_x
+                            ocy = oy - C_y
+                            ocz = oz - C_z
+                            hb = ocx * dx + ocy * dy + ocz * dz
+                            c_ = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                                  - R_ * R_)
+                            disc = hb * hb - a_d * c_
+                            sref = a_d * vw
+                            sig = 1.0 / (1.0 + jnp.exp(-disc / sref))
+                            dsig = sig * (1.0 - sig) / sref
+                            w_ct = (dacc_r * jr + dacc_g * jg
+                                    + dacc_b * jb)
+                            fb = jnp.where(mask, dsig * w_ct, 0.0)
+                            return (fb * (2 * a_d * ocx - 2 * hb * dx),
+                                    fb * (2 * a_d * ocy - 2 * hb * dy),
+                                    fb * (2 * a_d * ocz - 2 * hb * dz),
+                                    fb * (2 * a_d * R_))
+
+                        bcx, bcy, bcz, brad = boundary(
+                            attrs[0], attrs[1], attrs[2], attrs[3],
+                            v_r - cr * skr, v_g - cg * skg,
+                            v_b - cb * skb, scat)
+                        g_attrs = (g_attrs[0] + bcx, g_attrs[1] + bcy,
+                                   g_attrs[2] + bcz, g_attrs[3] + brad,
+                                   *g_attrs[4:])
+
+                        def nm_body(j, st_):
+                            (best, bi_m, m_cx, m_cy, m_cz, m_rad,
+                             m_mt, m_ar, m_ag, m_ab) = st_
+                            s_cx = sc_ref[0, j]
+                            s_cy = sc_ref[1, j]
+                            s_cz = sc_ref[2, j]
+                            s_rad = sc_ref[3, j]
+                            s_mt = sc_ref[4, j]
+                            s_ar = sc_ref[5, j]
+                            s_ag = sc_ref[6, j]
+                            s_ab = sc_ref[7, j]
+                            ocx = ox - s_cx
+                            ocy = oy - s_cy
+                            ocz = oz - s_cz
+                            hb = ocx * dx + ocy * dy + ocz * dz
+                            c_ = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                                  - s_rad * s_rad)
+                            disc = hb * hb - a_d * c_
+                            sc = jnp.where((hb < 0) & (disc < 0), disc,
+                                           -_INF)
+                            win = sc > best
+                            return (jnp.where(win, sc, best),
+                                    jnp.where(win, j.astype(jnp.float32),
+                                              bi_m),
+                                    jnp.where(win, s_cx, m_cx),
+                                    jnp.where(win, s_cy, m_cy),
+                                    jnp.where(win, s_cz, m_cz),
+                                    jnp.where(win, s_rad, m_rad),
+                                    jnp.where(win, s_mt, m_mt),
+                                    jnp.where(win, s_ar, m_ar),
+                                    jnp.where(win, s_ag, m_ag),
+                                    jnp.where(win, s_ab, m_ab))
+
+                        nm0 = (zero - _INF, zero, zero, zero, zero, one,
+                               zero, zero, zero, zero)
+                        (best, bi_m, m_cx, m_cy, m_cz, m_rad,
+                         m_mt, m_ar, m_ag, m_ab) = jax.lax.fori_loop(
+                            0, dyn_nsph, nm_body, nm0)
+                        nm_mask = missed & (best > -_INF)
+                        mocx = ox - m_cx
+                        mocy = oy - m_cy
+                        mocz = oz - m_cz
+                        hb_m = mocx * dx + mocy * dy + mocz * dz
+                        t_ca = -hb_m / a_d
+                        nbx, nby, nbz = _normalize3(mocx + t_ca * dx,
+                                                    mocy + t_ca * dy,
+                                                    mocz + t_ca * dz)
+                        udx, udy, udz = _normalize3(dx, dy, dz)
+                        rfx, rfy, rfz = _reflect(udx, udy, udz,
+                                                 nbx, nby, nbz)
+                        n_r, n_g, n_b = _sky(nbx, nby, nbz)
+                        f_r, f_g, f_b = _sky(rfx, rfy, rfz)
+                        is_dm = m_mt == 0.0
+                        is_gm = m_mt == 2.0
+
+                        def est(alb_c, sky_n, sky_f):
+                            return jnp.where(
+                                is_dm, alb_c * sky_n,
+                                jnp.where(is_gm, sky_f, alb_c * sky_f))
+
+                        mcx, mcy, mcz, mrad = boundary(
+                            m_cx, m_cy, m_cz, m_rad,
+                            cr * est(m_ar, n_r, f_r) - v_r,
+                            cg * est(m_ag, n_g, f_g) - v_g,
+                            cb * est(m_ab, n_b, f_b) - v_b,
+                            nm_mask)
+                        zz = zero
+                        scatter_attr_grads(
+                            jnp.where(nm_mask, bi_m, -1.0),
+                            (mcx, mcy, mcz, mrad, zz, zz, zz, zz, zz))
+
+                    scatter_attr_grads(idx_f, g_attrs)
+
+                    # FRESH steps: the pre-state cotangent is the raygen
+                    # output's — fold into the camera-sum planes with
+                    # the re-derived jitter/lens draws, cut the carry
+                    eo_x = n_ro[0] - n_rd[0]
+                    eo_y = n_ro[1] - n_rd[1]
+                    eo_z = n_ro[2] - n_rd[2]
+                    sd_rr = rng.fold_in(
+                        seed0, s_g.astype(jnp.int32).astype(jnp.uint32))
+                    (j1a, _), sd2 = rng.hash2(sd_rr)
+                    (_, j2b), sd2 = rng.hash2(sd2)
+                    uu = (fx + j1a * 1.1) * inv_w
+                    vv = (fy + j2b * 1.1) * inv_h
+                    (ldx, ldy), _ = rng.random_in_unit_disk(sd2)
+                    terms = (
+                        eo_x, eo_y, eo_z,
+                        n_rd[0], n_rd[1], n_rd[2],
+                        uu * n_rd[0], uu * n_rd[1], uu * n_rd[2],
+                        vv * n_rd[0], vv * n_rd[1], vv * n_rd[2],
+                        ldx * eo_x, ldx * eo_y, ldx * eo_z,
+                        ldy * eo_x, ldy * eo_y, ldy * eo_z,
+                    )
+                    sums = tuple(
+                        s + jnp.where(fresh, tm, 0.0)
+                        for s, tm in zip(sums, terms))
+                    d_ox = jnp.where(fresh, 0.0, n_ro[0])
+                    d_oy = jnp.where(fresh, 0.0, n_ro[1])
+                    d_oz = jnp.where(fresh, 0.0, n_ro[2])
+                    d_dx = jnp.where(fresh, 0.0, n_rd[0])
+                    d_dy = jnp.where(fresh, 0.0, n_rd[1])
+                    d_dz = jnp.where(fresh, 0.0, n_rd[2])
+                    d_cr = jnp.where(fresh, 0.0, n_thr[0])
+                    d_cg = jnp.where(fresh, 0.0, n_thr[1])
+                    d_cb = jnp.where(fresh, 0.0, n_thr[2])
+                    return (d_ox, d_oy, d_oz, d_dx, d_dy, d_dz,
+                            d_cr, d_cg, d_cb, v_r, v_g, v_b, *sums)
+
+                carry0 = tuple(zero for _ in range(12 + _NCAM_SUMS))
+                carry = jax.lax.fori_loop(0, g_hi, rev_body, carry0)
+                for i in range(_NCAM_SUMS):
+                    kahan_fold(i, jnp.sum(carry[12 + i]))
+                return s_pl_out
+
+            def outer_cond(s_pl):
+                return jnp.min(s_pl) < spp_f
+
+            jax.lax.while_loop(outer_cond, outer_body, zero)
 
         @pl.when(last)
         def _():
@@ -807,7 +1166,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                       interpret: bool | None = None, bvh=None,
                       row0=0, rows=None, vma=None, vis_w: float = 0.0,
-                      img=None):
+                      img=None, p2_refill: bool | None = None):
     """Fused image + VJP -> (img, d_scene, d_camera) for image cotangent
     ``ct``.  Pass a BVH to accelerate large scenes (the returned d_scene
     is in the ORIGINAL sphere order).
@@ -823,6 +1182,14 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     -hit sweep from the VJP.  The custom_vjp wrappers pass the image
     they already rendered.  Sequential RNG ignores it (sample seeds
     chain through the trace, so PASS 1 must run).
+
+    ``p2_refill`` selects the windowed persistent-refill PASS 2 (see
+    _make_grad_kernel) — requires the image operand (parallel RNG).
+    ``None`` auto-engages it at the same scene-size threshold as the
+    forward megakernel's refill loop (megakernel._REFILL_MIN; override
+    with RAYTPU_GRAD_REFILL=0/1).  Gradients are allclose but not
+    bit-equal to the per-sample PASS 2 (the (sample, bounce) terms add
+    into the accumulators in a different order).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -876,6 +1243,20 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     # fewer sweep than the PASS-1 + replay scheme)
     store_idx = (not skip_p1 and
                  cfg.spp * cfg.depth * tile_bytes <= _IDX_VMEM_BUDGET)
+    import os as _os
+    _env = _os.environ.get("RAYTPU_GRAD_REFILL")
+    from raytpu.kernels.megakernel import _REFILL_MIN
+    if p2_refill is None:
+        p2_refill = (_env != "0"
+                     and (scene.count >= _REFILL_MIN or _env == "1"))
+    p2_refill = bool(p2_refill) and skip_p1
+    # window size: as many residual-step rows as the VMEM budget allows,
+    # never fewer than one full-depth sample, never more than the
+    # worst-case total (spp * depth: every sample runs to the cap)
+    p2_steps = (max(cfg.depth, min(cfg.spp * cfg.depth,
+                                   _P2_VMEM_BUDGET
+                                   // (_NWREFILL * tile_bytes)))
+                if p2_refill else 0)
     packed = _pack_scene(scene_k)
     # attribute matrix for the one-hot winner extraction: used by the
     # flat (t, idx) sweep AND by PASS 2's stored-index replay gather on
@@ -889,7 +1270,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         cfg, n, n_nodes=m, store_idx=store_idx, vis_w=float(vis_w),
         static_leaf=None if bvh is None else bvh.leaf_size,
         flat_leaves=use_flat, fat_pad=fat_pad, skip_p1=skip_p1,
-        outliers=outl)
+        outliers=outl, p2_refill=p2_refill, p2_steps=p2_steps)
     # nk, not n: dyn_nsph bounds the vis_w near-miss sweep, which runs
     # over the PERMUTED pack — real spheres sit at rows >= count when
     # leaves carry padding dummies (dummies are NaN and never win)
@@ -909,6 +1290,8 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         operands += [img_pad[:, :, 0], img_pad[:, :, 1], img_pad[:, :, 2]]
         in_specs += [plane, plane, plane]
     scratch = [
+        pltpu.VMEM((p2_steps, _NWREFILL, _TILE_H, _TILE_W), jnp.float32)
+        if p2_refill else
         pltpu.VMEM((cfg.depth, _NRES, _TILE_H, _TILE_W), jnp.float32),
     ]
     if not skip_p1:
@@ -920,7 +1303,8 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                        jnp.float32))
     scratch += [
         pltpu.VMEM((16, n_pad), jnp.float32),
-        pltpu.SMEM((1, 32), jnp.float32),
+        # 18 camera sums + 14 spare + 18 Kahan compensations
+        pltpu.SMEM((1, 64), jnp.float32),
     ]
     r, g, b, gsc, gcam = pl.pallas_call(
         kernel,

@@ -202,7 +202,8 @@ def _seed_outlier_tests(body, state, outliers):
 
 
 def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
-                   rays, inv_d, a, inv_a, alive, outliers=None):
+                   rays, inv_d, a, inv_a, alive, outliers=None,
+                   count: bool = False):
     """Flat leaf-list closest-hit sweep -> (t_best, winner-index f32,
     -1 = miss): iterate the octant-ordered leaf rows front-to-back
     (``nd_ref`` = transposed ``bvh.flat``), entering a leaf's
@@ -273,14 +274,19 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
         start = nd_ref[6, node].astype(jnp.int32)
 
         def do_leaf(ti):
+            ti2 = ti
             for kk in range(static_leaf):
-                ti = sphere_body_ti(start + kk, ti)
-            return ti
+                ti2 = sphere_body_ti(start + kk, (ti2[0], ti2[1]))
+            # entered-leaf census (roofline accounting, scripts/
+            # probe_roofline.py) — a scalar add, dead code when off
+            return (*ti2, ti[2] + 1.0) if count else ti2
 
         return jax.lax.cond(anyhit, do_leaf, lambda t: t, ti)
 
     ti0 = _seed_outlier_tests(sphere_body_ti,
                               (zero + _INF, zero - 1.0), outliers)
+    if count:
+        ti0 = (*ti0, jnp.float32(0.0))
     return jax.lax.fori_loop(0, dyn_nodes, leaf_iter_ti, ti0)
 
 
@@ -289,7 +295,8 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                      static_leaf: int | None = None,
                      flat_leaves: bool = False,
                      flat_unroll_n: int | None = None,
-                     dense=None, flat_at=None, outliers=None):
+                     dense=None, flat_at=None, outliers=None,
+                     count_ref=None):
     """ONE bounce of the path-trace state machine over an (8, 128) tile.
 
     Returns ``body(state) -> state`` with state
@@ -479,11 +486,24 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                 # never win the sweep, and misses keep idx = -1 which
                 # one-hots to all-zero columns).
                 fat_ref, at_pad = flat_at
-                tb, idxf = _flat_sweep_ti(
-                    sc_ref, nd_ref, dyn_nodes, nbase, static_leaf,
-                    t_min, (ox, oy, oz, dx, dy, dz),
-                    (inv_dx, inv_dy, inv_dz), a, inv_a, alive,
-                    outliers=outliers)
+                if count_ref is None:
+                    tb, idxf = _flat_sweep_ti(
+                        sc_ref, nd_ref, dyn_nodes, nbase, static_leaf,
+                        t_min, (ox, oy, oz, dx, dy, dz),
+                        (inv_dx, inv_dy, inv_dz), a, inv_a, alive,
+                        outliers=outliers)
+                else:
+                    # roofline census: entered leaves + bounce steps
+                    # (scripts/probe_roofline.py)
+                    tb, idxf, cnt = _flat_sweep_ti(
+                        sc_ref, nd_ref, dyn_nodes, nbase, static_leaf,
+                        t_min, (ox, oy, oz, dx, dy, dz),
+                        (inv_dx, inv_dy, inv_dz), a, inv_a, alive,
+                        outliers=outliers, count=True)
+                    count_ref[0, 0] += cnt
+                    count_ref[0, 1] += 1.0
+                    n_live = jnp.sum(jnp.where(alive, 1.0, 0.0))
+                    count_ref[0, 2] += n_live
 
                 (h_cx, h_cy, h_cz, h_rad, h_mt,
                  h_ar, h_ag, h_ab, h_mp) = _onehot_attrs(
@@ -931,7 +951,8 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                  flat_at_pad: int | None = None,
                  strided: bool = False,
                  outliers: tuple | None = None,
-                 multi_tile: int = 1):
+                 multi_tile: int = 1,
+                 count_leaves: bool = False):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -957,13 +978,21 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
         nd_ref = None
         if n_nodes:
             nd_ref, *rest = rest
+        cnt_ref = cnt_acc = None
         if carry_state:
             (accr_in, accg_in, accb_in, seed_in,
              r_ref, g_ref, b_ref, seed_out) = rest
+        elif count_leaves:
+            r_ref, g_ref, b_ref, cnt_ref, cnt_acc = rest
         else:
             r_ref, g_ref, b_ref = rest
         ti = pl.program_id(0)
         tj = pl.program_id(1)
+        if count_leaves:
+            @pl.when((ti == 0) & (tj == 0))
+            def _():
+                for i in range(8):
+                    cnt_acc[0, i] = 0.0
         shape = (_TILE_H, _TILE_W)
         # row0 (cam slot 23): absolute row of this kernel's first tile —
         # nonzero when a device renders one slab of a sharded frame
@@ -1037,7 +1066,7 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
         bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes,
                                   t_min, cfg.scatter_mode, static_leaf,
                                   flat_leaves, unroll, dense, flat_at,
-                                  outliers=outliers)
+                                  outliers=outliers, count_ref=cnt_acc)
         gen_ray = make_gen_ray(cam_ref, fx, fy, inv_w, inv_h)
 
         zero = jnp.zeros(shape, jnp.float32)
@@ -1134,6 +1163,14 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                 r_ref[:, :] = _to_gamma(r_ref[:, :] * inv_spp, gamma)
                 g_ref[:, :] = _to_gamma(g_ref[:, :] * inv_spp, gamma)
                 b_ref[:, :] = _to_gamma(b_ref[:, :] * inv_spp, gamma)
+                if count_leaves:
+                    last_mt = ((ti == pl.num_programs(0) - 1)
+                               & (tj == pl.num_programs(1) - 1))
+
+                    @pl.when(last_mt)
+                    def _():
+                        for i in range(8):
+                            cnt_ref[0, i] = cnt_acc[0, i]
                 return
 
             body = make_refill_step(bounce, gen_ray, seed0, dyn_depth_f,
@@ -1159,6 +1196,14 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
             r_ref[:, :] = _to_gamma(acc_r * inv_spp, gamma)
             g_ref[:, :] = _to_gamma(acc_g * inv_spp, gamma)
             b_ref[:, :] = _to_gamma(acc_b * inv_spp, gamma)
+        if count_leaves:
+            last = ((ti == pl.num_programs(0) - 1)
+                    & (tj == pl.num_programs(1) - 1))
+
+            @pl.when(last)
+            def _():
+                for i in range(8):
+                    cnt_ref[0, i] = cnt_acc[0, i]
 
     return kernel
 
@@ -1244,7 +1289,8 @@ def _pack_dense(scene: Scene):
 def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
                             interpret: bool, nodes=None, perm=None,
                             row0=0, rows=None, vma=None, block_w=_TILE_W,
-                            leaf_size=None, flat=None):
+                            leaf_size=None, flat=None,
+                            count_leaves: bool = False):
     """Render rows [row0, row0+rows) of the cfg-sized frame.
 
     ``rows=None`` renders the whole frame.  ``row0`` may be traced (it
@@ -1317,7 +1363,9 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
             kernel = _make_kernel(cfg, n, n_nodes=m, block_w=block_w,
                                   static_leaf=leaf_size,
                                   flat_leaves=True, flat_at_pad=fat_pad,
-                                  strided=strided, outliers=outl, multi_tile=mt)
+                                  strided=strided, outliers=outl,
+                                  multi_tile=mt,
+                                  count_leaves=count_leaves)
             operands = (_pack_camera(cam, cfg, n, m, row0),
                         packed, fat, nd.T.astype(jnp.float32))
             in_specs = [smem, smem,
@@ -1330,14 +1378,33 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
             operands = (_pack_camera(cam, cfg, n, m, row0),
                         packed, nd.T.astype(jnp.float32))
             in_specs = [smem, smem, smem]
-    r, g, b = pl.pallas_call(
-        kernel,
-        grid=grid,
-        out_shape=(out, out, out),
-        in_specs=in_specs,
-        out_specs=(plane, plane, plane),
-        interpret=interpret,
-    )(*operands)
+    if count_leaves:
+        # roofline census outputs (entered leaves, bounce steps, live
+        # -lane steps — see make_bounce_body): SMEM accumulator across
+        # sequential grid steps, flushed at the last tile
+        assert flat is not None and _TIDX, \
+            "the census instruments the flat (t, idx) sweep only"
+        cnt_shape = jax.ShapeDtypeStruct((1, 8), jnp.float32)
+        r, g, b, cnt = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=(out, out, out, cnt_shape),
+            in_specs=in_specs,
+            out_specs=(plane, plane, plane,
+                       pl.BlockSpec(memory_space=pltpu.SMEM)),
+            scratch_shapes=[pltpu.SMEM((1, 8), jnp.float32)],
+            interpret=interpret,
+        )(*operands)
+    else:
+        cnt = None
+        r, g, b = pl.pallas_call(
+            kernel,
+            grid=grid,
+            out_shape=(out, out, out),
+            in_specs=in_specs,
+            out_specs=(plane, plane, plane),
+            interpret=interpret,
+        )(*operands)
     if block_w != _TILE_W:
         # unscramble sees the tile-granular grid (multi-tile groups are
         # laid out as mt consecutive tiles, same order as mt=1)
@@ -1347,6 +1414,8 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
     elif strided:
         r, g, b = (_unstride(x, grid) for x in (r, g, b))
     img = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
+    if count_leaves:
+        return img, cnt
     return img
 
 

@@ -147,3 +147,58 @@ def test_silhouette_vis_w_matches_adjoint():
     # the boundary terms must actually be present (differ from vis_w=0)
     _, ds0, _ = gradkernel.render_pallas_vjp(scene, cam, cfg, ct)
     assert np.abs(np.array(ds.center) - np.array(ds0.center)).max() > 1e-6
+
+
+def _compare_p2_modes(cfg, cam_kw={}, vis_w=0.0, scene=None,
+                      use_bvh=False, tol=3e-5):
+    """Refill PASS 2 (windowed persistent refill) vs per-sample PASS 2:
+    same skip_p1 kernel, same seeds — gradients agree to reordering
+    noise (the (sample, bounce) terms add in global-step order)."""
+    from raytpu.bvh import build_bvh
+    scene = scene if scene is not None else raytpu.test_world()
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
+                             vfov=20.0, aspect=cfg.aspect, **cam_kw)
+    bvh = build_bvh(scene) if use_bvh else None
+    img = golden.render_golden(scene, cam, cfg)
+    ct = 2.0 * (img - 0.25) / img.size
+    img0, ds0, dc0 = gradkernel.render_pallas_vjp(
+        scene, cam, cfg, ct, img=img, p2_refill=False, vis_w=vis_w,
+        bvh=bvh)
+    img1, ds1, dc1 = gradkernel.render_pallas_vjp(
+        scene, cam, cfg, ct, img=img, p2_refill=True, vis_w=vis_w,
+        bvh=bvh)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    for o1, o0, keys in (
+            (ds1, ds0, ("center", "radius", "albedo", "mat_param")),
+            (dc1, dc0, ("origin", "horizontal", "vertical",
+                        "lower_left", "u", "v", "lens_radius"))):
+        for k in keys:
+            a, b = np.asarray(getattr(o1, k)), np.asarray(getattr(o0, k))
+            scale = max(np.abs(b).max(), 1e-8)
+            assert np.abs(a - b).max() / scale < tol, (
+                k, np.abs(a - b).max() / scale)
+
+
+def test_p2_refill_matches_per_sample():
+    _compare_p2_modes(RenderConfig(width=64, height=16, spp=3, depth=4,
+                                   rng_mode="parallel"))
+
+
+def test_p2_refill_windows_park_and_resume(monkeypatch):
+    """A residual buffer that fits ~1 sample forces lanes to park at
+    sample boundaries and the outer window loop to resume them."""
+    monkeypatch.setattr(gradkernel, "_P2_VMEM_BUDGET", 5 * 13 * 4096)
+    _compare_p2_modes(RenderConfig(width=64, height=16, spp=6, depth=4,
+                                   rng_mode="parallel"))
+
+
+def test_p2_refill_defocus_vis_w_bvh():
+    """Lens draws through respawn/camera sums, silhouette terms, and
+    the BVH (outlier-split) closest-hit stage under the refill loop."""
+    _compare_p2_modes(RenderConfig(width=64, height=16, spp=2, depth=3,
+                                   rng_mode="parallel"),
+                      dict(aperture=0.3, focus_dist=12.0),
+                      vis_w=1e-3)
+    _compare_p2_modes(RenderConfig(width=64, height=16, spp=2, depth=3,
+                                   rng_mode="parallel"),
+                      scene=raytpu.config2_world(), use_bvh=True)
