@@ -147,14 +147,14 @@ def bench_config4(extra):
     bvh32 = build_bvh(scene, leaf_size=32)   # wavefront sweep optimum
     rays = cfg.width * cfg.height * cfg.spp
 
+    # (the refill-wavefront row was dropped in round 3: a measured dead
+    # end at every cadence — scripts/probe_refill_wavefront_r2.py — not
+    # worth its bench compile time)
     for name, frame in (
         ("megakernel", lambda s, c: jnp.sum(
             render(s, c, cfg, backend="pallas", bvh=bvh64))),
         ("wavefront", lambda s, c: jnp.sum(
             render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2))),
-        ("refill_wf", lambda s, c: jnp.sum(
-            render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2,
-                             refill=2))),
     ):
         f = _batch_frames(frame, n_frames=2)
         t = _time_calls(f, scene, cfg.aspect) / 2
@@ -201,6 +201,21 @@ def bench_config4(extra):
     extra["config4_fwd_parallel_ms"] = round(t_fwd_p * 1e3, 1)
     extra["config4_bwd_over_fwd"] = round((t_fb - t_fwd_p) / t_fwd_p, 2)
 
+    # the BASELINE.json config-4 gradient workload verbatim: 100 spp
+    # (round-2 verdict item 3 — previously never measured)
+    def fwdbwd100(s, c):
+        def loss_fn(s, c):
+            img = render(s, c, cfg100, backend="pallas", bvh=bvh64)
+            return jnp.mean((img - target) ** 2)
+        g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
+        return jnp.sum(g[0].center) + jnp.sum(g[1].origin)
+
+    fb100 = _batch_frames(fwdbwd100, n_frames=1)
+    t_fb100 = _time_calls(fb100, scene, cfg.aspect, iters=2)
+    extra["config4_100spp_fwdbwd_rays_per_sec"] = round(
+        cfg100.width * cfg100.height * cfg100.spp / t_fb100)
+    extra["config4_100spp_fwdbwd_ms"] = round(t_fb100 * 1e3, 1)
+
 
 def bench_refv2(extra):
     """The reference's own v2 workload: 1024x576, 60 spp, depth 50."""
@@ -220,20 +235,34 @@ def bench_refv2(extra):
     extra["refv2_config"] = ("random_world 1024x576 60spp depth50 "
                              "megakernel(refill, leaf64)")
 
-    # the depth-50 tail is where the refill WAVEFRONT's sort boundaries
-    # should pay off most — record it next to the megakernel number
-    from raytpu.wavefront import render_wavefront
+    # production RNG mode (parallel per-sample streams + multi-tile
+    # refill grouping): statistically identical image, the headline
+    # speed on the reference's own workload
     cfg_p = cfg.replace(rng_mode="parallel")
-    bvh32 = build_bvh(scene, leaf_size=32)
 
     @jax.jit
-    def f_wf(s, c):
-        return jnp.sum(render_wavefront(s, c, cfg_p, bvh=bvh32,
-                                        spp_batch=2, refill=2))
+    def f_p(s, c):
+        return jnp.sum(render(s, c, cfg_p, backend="pallas", bvh=bvh))
 
-    t_wf = _time_calls(f_wf, scene, cfg.aspect, iters=2)
-    extra["refv2_fwd_refill_wf_rays_per_sec"] = round(rays / t_wf)
-    extra["refv2_fwd_refill_wf_ms"] = round(t_wf * 1e3, 1)
+    t_p = _time_calls(f_p, scene, cfg.aspect, iters=2)
+    extra["refv2_fwd_parallel_rays_per_sec"] = round(rays / t_p)
+    extra["refv2_fwd_parallel_ms"] = round(t_p * 1e3, 1)
+
+    # REFERENCE_V2 backward (round-2 verdict item 3: depth-50 reverse
+    # sweep, windowed-refill PASS 2)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    @jax.jit
+    def f_bwd(s, c):
+        def loss_fn(s, c):
+            img = render(s, c, cfg_p, backend="pallas", bvh=bvh)
+            return jnp.mean((img - target) ** 2)
+        g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
+        return jnp.sum(g[0].center) + jnp.sum(g[1].origin)
+
+    t_bwd = _time_calls(f_bwd, scene, cfg.aspect, iters=2)
+    extra["refv2_fwdbwd_rays_per_sec"] = round(rays / t_bwd)
+    extra["refv2_fwdbwd_ms"] = round(t_bwd * 1e3, 1)
 
 
 def bench_grad_sweep(extra):

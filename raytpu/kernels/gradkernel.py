@@ -186,10 +186,12 @@ _NCAM_SUMS = 18
 # refill-PASS-2 residual layout: planes per GLOBAL STEP, not per
 # (sample, bounce) — see the p2_refill branch of _make_grad_kernel.
 # u/v/lens draws are NOT stored: the reverse sweep re-derives them from
-# the stored sample index by fold_in (parallel RNG only).
+# the stored (sample, group-tile) indices by fold_in (parallel RNG
+# only).
 (_WR_OX, _WR_OY, _WR_OZ, _WR_DX, _WR_DY, _WR_DZ,
- _WR_CR, _WR_CG, _WR_CB, _WR_IDX, _WR_FLG, _WR_SEED, _WR_SPL) = range(13)
-_NWREFILL = 13
+ _WR_CR, _WR_CG, _WR_CB, _WR_IDX, _WR_FLG, _WR_SEED, _WR_SPL,
+ _WR_MPL) = range(14)
+_NWREFILL = 14
 # flag bits in the _WR_FLG plane (i32 bitcast)
 _F_SCAT, _F_MISS, _F_FRESH, _F_FIN = 1, 2, 4, 8
 # residual-step VMEM budget for the refill PASS 2 (per-window step cap;
@@ -213,7 +215,9 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                       skip_p1: bool = False,
                       outliers: tuple | None = None,
                       p2_refill: bool = False,
-                      p2_steps: int = 0):
+                      p2_steps: int = 0,
+                      block_w: int = _TILE_W,
+                      multi_tile: int = 1):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -223,6 +227,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
         "refill PASS 2 needs fold_in sample streams + the image operand"
     assert not p2_refill or p2_steps >= depth, \
         "the step window must fit at least one full-depth sample"
+    assert multi_tile == 1 or p2_refill, \
+        "multi-tile grouping needs the refill PASS 2"
     t_min = np.float32(cfg.t_min)
     inv_w = np.float32(1.0 / (cfg.width - 1))
     inv_h = np.float32(1.0 / (cfg.height - 1))
@@ -258,11 +264,25 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
         first = (ti == 0) & (tj == 0)
         last = (ti == pl.num_programs(0) - 1) & (tj == pl.num_programs(1) - 1)
         shape = (_TILE_H, _TILE_W)
+        block_h = (_TILE_H * _TILE_W) // block_w
         row0 = cam_ref[23].astype(jnp.int32)
-        py = (row0 + ti * _TILE_H
-              + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
-        px = (tj * _TILE_W
-              + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        # multi_tile > 1: this instance owns multi_tile stacked blocks;
+        # py covers the FIRST (lanes hop block_h pixel rows per
+        # exhausted block — see the refill PASS 2)
+        if block_w == _TILE_W:
+            py = (row0 + ti * (_TILE_H * multi_tile)
+                  + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+            px = (tj * _TILE_W
+                  + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        else:
+            # square-ish block tiling (megakernel._make_kernel twin):
+            # the tile's 1024 lanes cover a (block_h x block_w) pixel
+            # block — ct/img operands arrive pre-scrambled and outputs
+            # leave in block layout (host unscrambles)
+            m = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * _TILE_W
+                 + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+            py = row0 + ti * (block_h * multi_tile) + m // block_w
+            px = tj * block_w + m % block_w
         seed0 = rng.pixel_seed(px.astype(jnp.uint32), py.astype(jnp.uint32))
         fx = px.astype(jnp.float32)
         fy = py.astype(jnp.float32)
@@ -323,12 +343,12 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 total = c if total is None else total + c
             gsc_acc[:, :] += total
 
-        def gen_ray(sd):
+        def gen_ray(sd, fy_cur=None):
             """Jitter + raygen; returns (ray, u, v, lens draws, seed')."""
             (j1a, _), sd = rng.hash2(sd)
             (_, j2b), sd = rng.hash2(sd)
             u = (fx + j1a * 1.1) * inv_w
-            v = (fy + j2b * 1.1) * inv_h
+            v = ((fy if fy_cur is None else fy_cur) + j2b * 1.1) * inv_h
             (ldx, ldy), sd_lens = rng.random_in_unit_disk(sd)
             sd = jnp.where(defocus, sd_lens, sd)
             rlx = lens_r * ldx
@@ -873,14 +893,40 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             # outer window loop re-spawns it after the reverse sweep.
             depth_f = dyn_depth.astype(jnp.float32)
             spp_f = dyn_spp.astype(jnp.float32)
+            mt_f = jnp.float32(multi_tile)
             g_cap = jnp.int32(p2_steps)
+            px_u = px.astype(jnp.uint32)
+
+            def seed0_at(m_pl):
+                """Pixel seed of the lane's CURRENT group tile (m_pl
+                block_h-row hops below the instance's first block)."""
+                if multi_tile == 1:
+                    return seed0
+                m_i = m_pl.astype(jnp.int32)
+                return rng.pixel_seed(
+                    px_u, (py + block_h * m_i).astype(jnp.uint32))
+
+            def fy_at(m_pl):
+                if multi_tile == 1:
+                    return None
+                return fy + jnp.float32(block_h) * m_pl
+
+            def sel_m(m_pl, full):
+                """(multi_tile*8, 128) stacked plane -> the lane's own
+                tile's (8, 128) rows."""
+                out = full[0:_TILE_H]
+                for mm in range(1, multi_tile):
+                    out = jnp.where(
+                        m_pl == jnp.float32(mm),
+                        full[mm * _TILE_H:(mm + 1) * _TILE_H], out)
+                return out
 
             def win_cond(st):
                 return jnp.max(st[10]) > 0
 
             def win_body(st):
                 (g, ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                 alive_f, sd, s_cur, d_pl, fresh) = st
+                 alive_f, sd, s_cur, d_pl, fresh, m_pl) = st
                 alive = alive_f > 0
                 idx_f, hit_any, attrs = closest_hit(
                     ox, oy, oz, dx, dy, dz, alive)
@@ -907,6 +953,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 res_ref[g, _WR_FLG] = pltpu.bitcast(flags, jnp.float32)
                 res_ref[g, _WR_SEED] = pltpu.bitcast(sd, jnp.float32)
                 res_ref[g, _WR_SPL] = s_cur
+                res_ref[g, _WR_MPL] = m_pl
                 n_ro, n_rd, n_thr, _out = _bounce_f(
                     (ox, oy, oz), (dx, dy, dz), (cr, cg, cb), attrs,
                     (scat, missed), sd, t_min, cfg.scatter_mode)
@@ -916,11 +963,15 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 dx, dy, dz = n_rd
                 cr, cg, cb = n_thr
                 s_next = jnp.where(fin, s_cur + 1.0, s_cur)
+                tile_done = fin & (s_next >= spp_f)
+                m_next = jnp.where(tile_done, m_pl + 1.0, m_pl)
+                s_eff = jnp.where(tile_done, 0.0, s_next)
                 can = (g + 1 + dyn_depth) <= g_cap
-                more = fin & (s_next < spp_f) & can
+                more = fin & (m_next < mt_f) & can
                 sd_r = rng.fold_in(
-                    seed0, s_next.astype(jnp.int32).astype(jnp.uint32))
-                nray, _, _, _, sd_n = gen_ray(sd_r)
+                    seed0_at(m_next),
+                    s_eff.astype(jnp.int32).astype(jnp.uint32))
+                nray, _, _, _, sd_n = gen_ray(sd_r, fy_at(m_next))
                 nox, noy, noz, ndx, ndy, ndz = nray
                 ox = jnp.where(more, nox, ox)
                 oy = jnp.where(more, noy, oy)
@@ -936,21 +987,25 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     fin, jnp.where(more, 1.0, 0.0), alive_f)
                 d_pl = jnp.where(more, 0.0, d_next)
                 fresh = jnp.where(more, 1.0, 0.0)
+                s_cur = jnp.where(fin, s_eff, s_cur)
                 return (g + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                        alive_f, sd, s_next, d_pl, fresh)
+                        alive_f, sd, s_cur, d_pl, fresh, m_next)
 
-            def outer_body(s_pl):
-                pending = s_pl < spp_f
+            def outer_body(carry_out):
+                s_pl, m_pl = carry_out
+                pending = m_pl < mt_f
                 sd_r = rng.fold_in(
-                    seed0, s_pl.astype(jnp.int32).astype(jnp.uint32))
-                ray0, _, _, _, sd_i = gen_ray(sd_r)
+                    seed0_at(m_pl),
+                    s_pl.astype(jnp.int32).astype(jnp.uint32))
+                ray0, _, _, _, sd_i = gen_ray(sd_r, fy_at(m_pl))
                 iox, ioy, ioz, idxr, idyr, idzr = ray0
                 pf = jnp.where(pending, 1.0, 0.0)
                 st = (jnp.int32(0), iox, ioy, ioz, idxr, idyr, idzr,
-                      one, one, one, pf, sd_i, s_pl, zero, pf)
+                      one, one, one, pf, sd_i, s_pl, zero, pf, m_pl)
                 st = jax.lax.while_loop(win_cond, win_body, st)
                 g_hi = st[0]
                 s_pl_out = st[12]
+                m_pl_out = st[15]
 
                 def rev_body(k, carry):
                     g = g_hi - 1 - k
@@ -974,6 +1029,11 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     fin = (flags & _F_FIN) > 0
                     sd_t = pltpu.bitcast(res_ref[g, _WR_SEED], jnp.uint32)
                     s_g = res_ref[g, _WR_SPL]
+                    m_g = res_ref[g, _WR_MPL]
+                    # the lane's own group tile's cotangent scale
+                    dacc_r_g = sel_m(m_g, dacc_r)
+                    dacc_g_g = sel_m(m_g, dacc_g)
+                    dacc_b_g = sel_m(m_g, dacc_b)
                     # winner attrs re-gathered by the exact one-hot
                     # matmul (idx = -1 misses extract all-zero columns;
                     # every use downstream is guarded/masked)
@@ -998,7 +1058,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                                      (cr, cg, cb), attrs)
                     (n_ro, n_rd, n_thr, g_attrs) = vjp(
                         ((d_ox, d_oy, d_oz), (d_dx, d_dy, d_dz),
-                         (d_cr, d_cg, d_cb), (dacc_r, dacc_g, dacc_b)))
+                         (d_cr, d_cg, d_cb),
+                         (dacc_r_g, dacc_g_g, dacc_b_g)))
 
                     if vis_w > 0:
                         # silhouette terms: op-for-op the per-sample
@@ -1018,8 +1079,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                             sref = a_d * vw
                             sig = 1.0 / (1.0 + jnp.exp(-disc / sref))
                             dsig = sig * (1.0 - sig) / sref
-                            w_ct = (dacc_r * jr + dacc_g * jg
-                                    + dacc_b * jb)
+                            w_ct = (dacc_r_g * jr + dacc_g_g * jg
+                                    + dacc_b_g * jb)
                             fb = jnp.where(mask, dsig * w_ct, 0.0)
                             return (fb * (2 * a_d * ocx - 2 * hb * dx),
                                     fb * (2 * a_d * ocy - 2 * hb * dy),
@@ -1114,11 +1175,13 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     eo_y = n_ro[1] - n_rd[1]
                     eo_z = n_ro[2] - n_rd[2]
                     sd_rr = rng.fold_in(
-                        seed0, s_g.astype(jnp.int32).astype(jnp.uint32))
+                        seed0_at(m_g),
+                        s_g.astype(jnp.int32).astype(jnp.uint32))
                     (j1a, _), sd2 = rng.hash2(sd_rr)
                     (_, j2b), sd2 = rng.hash2(sd2)
                     uu = (fx + j1a * 1.1) * inv_w
-                    vv = (fy + j2b * 1.1) * inv_h
+                    fy_g = fy if multi_tile == 1 else fy_at(m_g)
+                    vv = (fy_g + j2b * 1.1) * inv_h
                     (ldx, ldy), _ = rng.random_in_unit_disk(sd2)
                     terms = (
                         eo_x, eo_y, eo_z,
@@ -1147,12 +1210,12 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 carry = jax.lax.fori_loop(0, g_hi, rev_body, carry0)
                 for i in range(_NCAM_SUMS):
                     kahan_fold(i, jnp.sum(carry[12 + i]))
-                return s_pl_out
+                return (s_pl_out, m_pl_out)
 
-            def outer_cond(s_pl):
-                return jnp.min(s_pl) < spp_f
+            def outer_cond(carry_out):
+                return jnp.min(carry_out[1]) < mt_f
 
-            jax.lax.while_loop(outer_cond, outer_body, zero)
+            jax.lax.while_loop(outer_cond, outer_body, (zero, zero))
 
         @pl.when(last)
         def _():
@@ -1166,7 +1229,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                       interpret: bool | None = None, bvh=None,
                       row0=0, rows=None, vma=None, vis_w: float = 0.0,
-                      img=None, p2_refill: bool | None = None):
+                      img=None, p2_refill: bool | None = None,
+                      block_w: int | None = None):
     """Fused image + VJP -> (img, d_scene, d_camera) for image cotangent
     ``ct``.  Pass a BVH to accelerate large scenes (the returned d_scene
     is in the ORIGINAL sphere order).
@@ -1194,10 +1258,41 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     h, w = (rows if rows is not None else cfg.height), cfg.width
-    hp = -(-h // _TILE_H) * _TILE_H
-    wp = -(-w // _TILE_W) * _TILE_W
-    grid = (hp // _TILE_H, wp // _TILE_W)
     n = scene.count
+    from raytpu.kernels.megakernel import (_scramble, _unscramble,
+                                           _mt_for, _auto_block_w,
+                                           _REFILL_MIN)
+    tile_bytes = _TILE_H * _TILE_W * 4
+    skip_p1 = img is not None and cfg.rng_mode == "parallel"
+    import os as _os
+    _env = _os.environ.get("RAYTPU_GRAD_REFILL")
+    if p2_refill is None:
+        p2_refill = (_env != "0"
+                     and (scene.count >= _REFILL_MIN or _env == "1"))
+    p2_refill = bool(p2_refill) and skip_p1
+    if block_w is None:
+        # block-frustum tiling for BVH scenes (the megakernel's win
+        # ported to the VJP).  The refill PASS 2 also groups blocks
+        # multi-tile, so its choice is mt-aware like the forward's;
+        # the per-sample PASS 2 has no grouping — pure frustum shape
+        # (32 measured best: config-4 fwd+bwd 365.9 strips / 341.5
+        # b64 / 339.7 b32, pre-grouping)
+        if bvh is None:
+            block_w = _TILE_W
+        elif p2_refill:
+            block_w = _auto_block_w(cfg, n, h)
+        else:
+            block_w = 32
+    block_h = (_TILE_H * _TILE_W) // block_w
+    hp = -(-h // block_h) * block_h
+    wp = -(-w // block_w) * block_w
+    grid = (hp // block_h, wp // block_w)
+
+    def lay(p):
+        """Image-layout (hp, wp) plane -> kernel tile layout."""
+        if block_w == _TILE_W:
+            return p
+        return _scramble(p, grid, block_h, block_w)
     perm_i = None
     if bvh is not None:
         from raytpu.bvh import permute_scene
@@ -1214,8 +1309,6 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     ct_pad = jnp.zeros((hp, wp, 3), jnp.float32).at[:h, :w].set(ct)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    plane = pl.BlockSpec((_TILE_H, _TILE_W), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM)
     n_pad = max(-(-nk // 128) * 128, 128)
     # scene-grad output rides VMEM (vector-written once, at the final
     # grid step, from the VMEM accumulator); the 32 camera sums stay
@@ -1231,25 +1324,16 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         return jax.ShapeDtypeStruct(shape, jnp.float32,
                                     vma=frozenset(vma))
 
-    out_plane = _shp((hp, wp))
+    out_plane = _shp((grid[0] * _TILE_H, grid[1] * _TILE_W))
 
     use_flat = (bvh is not None and bvh.flat is not None
                 and bvh.n_leaves <= _FLAT_MAX_LEAVES and _TIDX)
     m = 0 if bvh is None else (bvh.n_leaves if use_flat else bvh.n_trav)
-    tile_bytes = _TILE_H * _TILE_W * 4
-    skip_p1 = img is not None and cfg.rng_mode == "parallel"
     # with PASS 1 elided there is no index-recording pass; PASS 2's
     # forward runs the closest-hit sweep itself (once total — still one
     # fewer sweep than the PASS-1 + replay scheme)
     store_idx = (not skip_p1 and
                  cfg.spp * cfg.depth * tile_bytes <= _IDX_VMEM_BUDGET)
-    import os as _os
-    _env = _os.environ.get("RAYTPU_GRAD_REFILL")
-    from raytpu.kernels.megakernel import _REFILL_MIN
-    if p2_refill is None:
-        p2_refill = (_env != "0"
-                     and (scene.count >= _REFILL_MIN or _env == "1"))
-    p2_refill = bool(p2_refill) and skip_p1
     # window size: as many residual-step rows as the VMEM budget allows,
     # never fewer than one full-depth sample, never more than the
     # worst-case total (spp * depth: every sample runs to the cap)
@@ -1257,6 +1341,14 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                                    _P2_VMEM_BUDGET
                                    // (_NWREFILL * tile_bytes)))
                 if p2_refill else 0)
+    # multi-tile grouping (forward megakernel policy: largest divisor
+    # of the row-block count <= _MULTI_TILE) — the refill PASS 2's
+    # while-loop tail is paid once per group instead of per block; the
+    # residual window spans the group (parking handles overflow)
+    mt = _mt_for(h, block_w, cfg, n) if p2_refill else 1
+    pgrid = (grid[0] // mt, grid[1])
+    plane = pl.BlockSpec((mt * _TILE_H, _TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
     packed = _pack_scene(scene_k)
     # attribute matrix for the one-hot winner extraction: used by the
     # flat (t, idx) sweep AND by PASS 2's stored-index replay gather on
@@ -1270,7 +1362,8 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         cfg, n, n_nodes=m, store_idx=store_idx, vis_w=float(vis_w),
         static_leaf=None if bvh is None else bvh.leaf_size,
         flat_leaves=use_flat, fat_pad=fat_pad, skip_p1=skip_p1,
-        outliers=outl, p2_refill=p2_refill, p2_steps=p2_steps)
+        outliers=outl, p2_refill=p2_refill, p2_steps=p2_steps,
+        block_w=block_w, multi_tile=mt)
     # nk, not n: dyn_nsph bounds the vis_w near-miss sweep, which runs
     # over the PERMUTED pack — real spheres sit at rows >= count when
     # leaves carry padding dummies (dummies are NaN and never win)
@@ -1282,12 +1375,14 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         in_specs.append(smem)
     operands.append(fat)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-    operands += [ct_pad[:, :, 0], ct_pad[:, :, 1], ct_pad[:, :, 2]]
+    operands += [lay(ct_pad[:, :, 0]), lay(ct_pad[:, :, 1]),
+                 lay(ct_pad[:, :, 2])]
     in_specs += [plane, plane, plane]
     if skip_p1:
         img_pad = jnp.zeros((hp, wp, 3), jnp.float32).at[:h, :w].set(
             jnp.asarray(img, jnp.float32))
-        operands += [img_pad[:, :, 0], img_pad[:, :, 1], img_pad[:, :, 2]]
+        operands += [lay(img_pad[:, :, 0]), lay(img_pad[:, :, 1]),
+                     lay(img_pad[:, :, 2])]
         in_specs += [plane, plane, plane]
     scratch = [
         pltpu.VMEM((p2_steps, _NWREFILL, _TILE_H, _TILE_W), jnp.float32)
@@ -1308,7 +1403,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     ]
     r, g, b, gsc, gcam = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=pgrid,
         out_shape=(out_plane, out_plane, out_plane,
                    _shp((16, n_pad)), _shp((1, 32))),
         in_specs=in_specs,
@@ -1317,6 +1412,9 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         interpret=interpret,
     )(*operands)
 
+    if block_w != _TILE_W:
+        r, g, b = (_unscramble(x, grid, block_h, block_w)
+                   for x in (r, g, b))
     img = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
     if perm_i is not None:
         # cotangents are in (padded) BVH leaf order: scatter back to

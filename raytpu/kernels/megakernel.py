@@ -70,6 +70,12 @@ _FLAT_UNROLL_MAX = int(os.environ.get("RAYTPU_FLAT_UNROLL_MAX", "0"))
 # per-row one-hot MXU attribute extraction afterwards.  Config-4
 # measured: wavefront 22.2 -> 24.0, megakernel 15.9 -> 20.2 Mrays/s.
 _TIDX = os.environ.get("RAYTPU_TIDX", "1") != "0"
+# K independent (t, idx) accumulator pairs in the flat sweep, merged
+# lexicographically ((t, idx)-min) at the end: consecutive sphere tests
+# go to different pairs, cutting the serial select-chain dependency K x.
+# The winner is BIT-identical (selection reordering, not float math —
+# the tie rule stays lowest-index).  K = 1 is the plain chain.
+_SWEEP_K = int(os.environ.get("RAYTPU_SWEEP_K", "1"))
 # persistent sample refill engages at this many spheres (the two
 # sample-loop forms are BIT-identical; refill's respawn logic costs
 # ~70 extra vops/iteration, which only pays once the hit sweep
@@ -217,11 +223,21 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
     by ``bvh.build_bvh(split_outliers=...)``, living at perm rows
     [base, base+count).  Tested unconditionally BEFORE the walk — a
     giant ground sphere is hit by most rays, so seeding ``t_best`` with
-    it lets far leaves die on the ``tfar <= t_best`` clamp."""
+    it lets far leaves die on the ``tfar <= t_best`` clamp.
+
+    With ``_SWEEP_K > 1`` the carry holds K independent (t, idx) pairs
+    (consecutive tests round-robin across them, cutting the serial
+    select-chain dependency K x) merged (t, idx)-lexicographically at
+    the end.  The per-test float math is identical; only the selection
+    order changes, so the winner is the same up to measure-zero
+    equal-t ties between distinct spheres (the same class where the
+    sweep's visit-order tie rule already differs from golden's
+    lowest-index argmin — see golden.hit_world)."""
     ox, oy, oz, dx, dy, dz = rays
     inv_dx, inv_dy, inv_dz = inv_d
     zero = jnp.zeros_like(ox)
     neg_inv_a = -inv_a  # hoisted: root1's negation folds into the mul
+    kp = max(1, min(_SWEEP_K, static_leaf or 1))
 
     def sphere_body_ti(j, ti):
         tb, idxf = ti
@@ -254,6 +270,8 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
 
     def leaf_iter_ti(k, ti):
         tb = ti[0]
+        for p in range(1, kp):
+            tb = jnp.minimum(tb, ti[2 * p])
         node = nbase + k
         t1 = (nd_ref[0, node] - ox) * inv_dx
         t2 = (nd_ref[3, node] - ox) * inv_dx
@@ -274,20 +292,34 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
         start = nd_ref[6, node].astype(jnp.int32)
 
         def do_leaf(ti):
-            ti2 = ti
+            pairs = list(ti[:2 * kp])
             for kk in range(static_leaf):
-                ti2 = sphere_body_ti(start + kk, (ti2[0], ti2[1]))
+                p = kk % kp
+                pairs[2 * p], pairs[2 * p + 1] = sphere_body_ti(
+                    start + kk, (pairs[2 * p], pairs[2 * p + 1]))
             # entered-leaf census (roofline accounting, scripts/
             # probe_roofline.py) — a scalar add, dead code when off
-            return (*ti2, ti[2] + 1.0) if count else ti2
+            return ((*pairs, ti[2 * kp] + 1.0) if count
+                    else tuple(pairs))
 
         return jax.lax.cond(anyhit, do_leaf, lambda t: t, ti)
 
     ti0 = _seed_outlier_tests(sphere_body_ti,
                               (zero + _INF, zero - 1.0), outliers)
+    for _ in range(1, kp):
+        ti0 = (*ti0, zero + _INF, zero - 1.0)
     if count:
         ti0 = (*ti0, jnp.float32(0.0))
-    return jax.lax.fori_loop(0, dyn_nodes, leaf_iter_ti, ti0)
+    out = jax.lax.fori_loop(0, dyn_nodes, leaf_iter_ti, ti0)
+    tb, idxf = out[0], out[1]
+    for p in range(1, kp):
+        tb2, id2 = out[2 * p], out[2 * p + 1]
+        take = (tb2 < tb) | ((tb2 == tb) & (id2 < idxf))
+        tb = jnp.where(take, tb2, tb)
+        idxf = jnp.where(take, id2, idxf)
+    if count:
+        return tb, idxf, out[2 * kp]
+    return tb, idxf
 
 
 def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
@@ -1245,6 +1277,37 @@ def _pack_flat_at(packed, min_pad: int = 8):
     return _split_bf16x3(at), n_pad
 
 
+def _mt_for(h: int, block_w: int, cfg: RenderConfig, n: int) -> int:
+    """The multi-tile group factor _render_pallas_fwd_impl will pick for
+    this (frame height, block shape) — 1 when grouping can't engage."""
+    if not (_MULTI_TILE > 1 and cfg.rng_mode == "parallel"
+            and (not _NO_EARLY_EXIT) and n >= _REFILL_MIN
+            and not _STRIDED):
+        return 1
+    block_h = (_TILE_H * _TILE_W) // block_w
+    g0 = -(-h // block_h)
+    return max(d for d in range(1, _MULTI_TILE + 1) if g0 % d == 0)
+
+
+def _auto_block_w(cfg: RenderConfig, n: int, h: int | None = None) -> int:
+    """Auto block shape for BVH scenes: square-ish frustum tiling AND a
+    row-block count the multi-tile refill grouping divides.  Round-3
+    measured (config 4, 800x400, scripts/probe_sweepk.py): the grouping
+    is worth ~25% (183 -> 145 ms) and block 64 beats 16/32/128 once it
+    engages — but at this frame height block 32's row-block count is 13
+    (prime), so the round-2 default silently ran mt = 1.  Score = group
+    factor (capped where returns flatten) then shape preference; images
+    are bit-identical across layouts (absolute-coordinate RNG seeds)."""
+    hh = cfg.height if h is None else h
+    # at equal grouping, 32 is the round-2 frustum optimum (and the
+    # sequential-RNG answer, where grouping never engages); with
+    # grouping engaged, 64 measured best (44.1 vs 43.2/40.1 Mrays/s)
+    pref = {32: 4, 64: 3, 128: 2, 16: 1}
+    best = max((min(_mt_for(hh, bw, cfg, n), 5) * 10 + p, bw)
+               for bw, p in pref.items())
+    return best[1]
+
+
 def _use_dense(n: int, interpret: bool, has_bvh: bool = False) -> bool:
     """Dense hit-stage policy (see make_bounce_body): auto engages on
     compiled kernels at scale when NO BVH was provided — it replaces
@@ -1439,6 +1502,17 @@ def _unscramble(x, grid, block_h, block_w):
             .reshape(gi * block_h, gj * block_w))
 
 
+def _scramble(x, grid, block_h, block_w):
+    """Image layout -> tile-block layout (inverse of _unscramble; used
+    by the VJP kernel's ct/img input planes under block tiling)."""
+    gi, gj = grid
+    return (x.reshape(gi, block_h, gj, block_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(gi, gj, _TILE_H, _TILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(gi * _TILE_H, gj * _TILE_W))
+
+
 def _golden_bwd(cfg, res, ct, vis_w=0.0):
     # Backward re-traces through the hand-structured adjoint renderer
     # (raytpu/adjoint.py): identical forward semantics to this kernel
@@ -1611,7 +1685,8 @@ def render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if block_w is None:
-        block_w = 32 if bvh is not None else _TILE_W
+        block_w = (_auto_block_w(cfg, scene.count)
+                   if bvh is not None else _TILE_W)
     if bvh is None:
         return _render_pallas(scene, cam, cfg, bool(interpret), block_w,
                               float(vis_w))

@@ -48,28 +48,32 @@ OPS_OTHER = 180
 
 
 def vpu_peak_ops():
-    """Measured f32 VPU throughput (ops/s; FMA = 1 op): 8 independent
-    FMA chains, 32x unrolled, on a (512, 128) block."""
-    rows, unroll, iters = 512, 32, 4096
+    """Measured f32 VPU throughput (ops/s; FMA = 1 op): 16 independent
+    register-resident (8, 128)-vreg FMA chains, 16x unrolled.  (A first
+    attempt used (64, 128) chains — 256 KB working set — and measured
+    VMEM bandwidth, not the VPU: 0.244 Tops/s.)"""
+    chains, unroll, iters = 16, 16, 65536
 
     def kernel(x_ref, o_ref):
-        xs = [x_ref[i * 64:(i + 1) * 64, :] for i in range(8)]
-        a = xs[0] * 0.0 + 1.0000001
-        b = xs[0] * 0.0 + 1e-7
+        xs = [x_ref[:, :] + 1e-8 * i for i in range(chains)]
+        a = x_ref[:, :] * 0.0 + 1.0000001
+        b = x_ref[:, :] * 0.0 + 1e-7
 
         def body(_, xs):
-            for _ in range(unroll // 8):
+            for _ in range(unroll):
                 xs = [x * a + b for x in xs]
             return xs
 
-        xs = jax.lax.fori_loop(0, iters, body, xs)
-        for i in range(8):
-            o_ref[i * 64:(i + 1) * 64, :] = xs[i]
+        xs = jax.lax.fori_loop(0, iters, body, list(xs))
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + x
+        o_ref[:, :] = acc
 
-    x = jnp.ones((rows, 128), jnp.float32)
+    x = jnp.ones((8, 128), jnp.float32)
     f = jax.jit(lambda x: jnp.sum(pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )(x)))
@@ -80,8 +84,91 @@ def vpu_peak_ops():
         float(f(x + i * 1e-6))
         ts.append(time.perf_counter() - t0)
     t = sorted(ts)[2]
-    ops = rows * 128 * unroll // 8 * 8 * iters
+    ops = 8 * 128 * chains * unroll * iters
     return ops / t, t
+
+
+def sweep_peak_tests(k_pairs: int, leaf: int = 64, iters: int = 2048):
+    """Speed-of-light of the sweep itself: the exact sphere_body_ti
+    math, straight-line leaf-unrolled, all lanes live, zero traversal
+    (no bbox, no cond, no respawn) — achieved sphere tests/s, with
+    ``k_pairs`` independent (t, idx) accumulator pairs (the serial
+    select chain is 2 ops/test at k=1; k>1 splits it)."""
+    t_min = np.float32(1e-3)
+
+    def kernel(sc_ref, o_ref):
+        shape = (8, 128)
+        ox = jax.lax.broadcasted_iota(
+            jnp.int32, shape, 0).astype(jnp.float32) * 0.01
+        oy = jax.lax.broadcasted_iota(
+            jnp.int32, shape, 1).astype(jnp.float32) * 0.01
+        oz = ox * 0.0 + 1.0
+        dx, dy, dz = ox * 0.0 + 0.3, oy * 0.0 + 0.2, oz * 0.0 - 1.0
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        neg_inv_a = -inv_a
+
+        def test(j, tb, idxf):
+            s_cx = sc_ref[0, j]
+            s_cy = sc_ref[1, j]
+            s_cz = sc_ref[2, j]
+            s_rad = sc_ref[3, j]
+            ocx = ox - s_cx
+            ocy = oy - s_cy
+            ocz = oz - s_cz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            c = (ocx * ocx + ocy * ocy + ocz * ocz) - s_rad * s_rad
+            disc = half_b * half_b - a * c
+            sqrtd = jnp.sqrt(disc)
+            root1 = (half_b + sqrtd) * neg_inv_a
+            root2 = (sqrtd - half_b) * inv_a
+            near_ok = root1 >= t_min
+            root = jnp.where(near_ok, root1, root2)
+            win = (root >= t_min) & (root < tb)
+            return (jnp.where(win, root, tb),
+                    jnp.where(win, j.astype(jnp.float32), idxf))
+
+        def body(it, pairs):
+            out = list(pairs)
+            for kk in range(leaf):
+                p = kk % k_pairs
+                tb, idxf = out[2 * p], out[2 * p + 1]
+                # rotate the scalar row so loads don't constant-fold
+                out[2 * p], out[2 * p + 1] = test(
+                    (it + kk) % leaf, tb, idxf)
+            return tuple(out)
+
+        zero = ox * 0.0
+        pairs = ()
+        for _ in range(k_pairs):
+            pairs += (zero + 3e38, zero - 1.0)
+        pairs = jax.lax.fori_loop(0, iters, body, pairs)
+        tb, idxf = pairs[0], pairs[1]
+        for p in range(1, k_pairs):
+            tb2, id2 = pairs[2 * p], pairs[2 * p + 1]
+            take = (tb2 < tb) | ((tb2 == tb) & (id2 < idxf))
+            tb = jnp.where(take, tb2, tb)
+            idxf = jnp.where(take, id2, idxf)
+        o_ref[:, :] = tb + idxf
+
+    sc = np.random.RandomState(0).uniform(
+        -5, 5, (9, leaf)).astype(np.float32)
+    sc[3] = np.abs(sc[3]) * 0.1 + 0.05
+    f = jax.jit(lambda sc: jnp.sum(pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(sc)))
+    sc = jnp.asarray(sc)
+    float(f(sc))
+    ts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(f(sc + i * 1e-6))
+        ts.append(time.perf_counter() - t0)
+    t = sorted(ts)[2]
+    return leaf * iters * 1024 / t, t
 
 
 def main():
@@ -89,6 +176,10 @@ def main():
     peak, t_micro = vpu_peak_ops()
     print(f"vpu_peak: {peak/1e12:.3f} Tops/s (f32 FMA=1op, "
           f"micro {t_micro*1e3:.1f} ms)", flush=True)
+    for k in (1, 2, 4):
+        tests_s, t_s = sweep_peak_tests(k)
+        print(f"sweep_peak k={k}: {tests_s/1e9:.2f} Gtests/s "
+              f"(micro {t_s*1e3:.1f} ms)", flush=True)
 
     cfg = RenderConfig(width=800, height=400, spp=20, depth=12,
                        rng_mode="parallel")
@@ -143,8 +234,13 @@ def main():
     v_total = v_sphere + v_bbox + v_other
     print(f"modeled vops: sphere={v_sphere:.3e} bbox={v_bbox:.3e} "
           f"other={v_other:.3e} total={v_total:.3e}", flush=True)
-    util = v_total / (t_frame * peak)
-    print(f"utilization: {100*util:.1f}% of measured VPU peak", flush=True)
+    # the honest denominator: the sweep's own measured speed-of-light
+    # (same math, no traversal) — model-free on both sides
+    soL, _ = sweep_peak_tests(1)
+    ach = sphere_tests / t_frame
+    print(f"achieved sphere tests/s: {ach/1e9:.2f}G = "
+          f"{100*ach/soL:.1f}% of the k=1 sweep speed-of-light "
+          f"({soL/1e9:.2f}G)", flush=True)
     # occupancy/culling diagnostics
     print(f"avg live lanes/step: {live/steps/lanes*100:.1f}%  "
           f"avg entered leaves/step: {leaves/steps:.2f} of {n_leaves}",

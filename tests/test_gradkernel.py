@@ -202,3 +202,18 @@ def test_p2_refill_defocus_vis_w_bvh():
     _compare_p2_modes(RenderConfig(width=64, height=16, spp=2, depth=3,
                                    rng_mode="parallel"),
                       scene=raytpu.config2_world(), use_bvh=True)
+
+
+def test_p2_refill_multi_tile(monkeypatch):
+    """Multi-tile grouping in the refill PASS 2: lanes hop group tiles
+    (per-tile pixel seeds + dacc selection + hopped raygen rows)."""
+    from raytpu.kernels import megakernel
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 0)
+    _compare_p2_modes(RenderConfig(width=128, height=64, spp=3, depth=4,
+                                   rng_mode="parallel"),
+                      scene=raytpu.config2_world(), use_bvh=True)
+    _compare_p2_modes(RenderConfig(width=128, height=64, spp=2, depth=3,
+                                   rng_mode="parallel"),
+                      dict(aperture=0.3, focus_dist=12.0),
+                      scene=raytpu.config2_world(), use_bvh=True,
+                      vis_w=1e-3)
