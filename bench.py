@@ -194,10 +194,50 @@ def bench_config4(extra):
         return (jnp.sum(g[0].center) + jnp.sum(g[0].albedo)
                 + jnp.sum(g[1].origin))
 
+    # roofline / utilization accounting (round-2 verdict item 2): the
+    # in-kernel census counts entered leaves, bounce steps and live
+    # lanes over the PRODUCTION parallel-mode frame; with the sweep's
+    # 24-vop/test static count this yields achieved vector-ops/cycle
+    # (the VPU issues 2-4 (8,128)-ops/cycle depending on generation, so
+    # this brackets issue efficiency model-free on the workload side).
+    # Full methodology + lever ranking: scripts/probe_roofline.py.
+    from raytpu.kernels import megakernel as _mk
+    from raytpu.bvh import outlier_tail
+    bw = _mk._auto_block_w(cfg_best, scene.count)
+    outl = outlier_tail(bvh64.perm, bvh64.flat, bvh64.leaf_size)
+    n_out = 0 if outl is None else outl[1]
+
+    @jax.jit
+    def _census(s, c):
+        img, cnt = _mk._render_pallas_fwd_impl(
+            s, c, cfg_best, False, bvh64.nodes, bvh64.perm, block_w=bw,
+            leaf_size=bvh64.leaf_size, flat=bvh64.flat,
+            count_leaves=True)
+        return jnp.sum(img), cnt
+
+    _, cnt = _census(scene, _cam(0, cfg.aspect))
+    cnt = np.asarray(jax.device_get(cnt))[0]
+    leaves, steps, live = float(cnt[0]), float(cnt[1]), float(cnt[2])
+    tests = (leaves * bvh64.leaf_size + steps * n_out) * 1024
+    vops_per_cycle = tests / t_fwd_p * 24 / 1024 / 0.94e9
+    extra["config4_roofline"] = {
+        "live_lane_pct": round(100 * live / (steps * 1024), 1),
+        "leaves_entered_per_step": round(leaves / steps, 2),
+        "n_leaves": int(bvh64.n_leaves),
+        "sphere_tests_per_sec_G": round(tests / t_fwd_p / 1e9, 1),
+        "tests_vs_1leaf_ideal": round(
+            tests / (live * (bvh64.leaf_size + n_out)), 2),
+        "sweep_vops_per_cycle": round(vops_per_cycle, 2),
+        "issue_pct_if_4alu_vpu": round(100 * vops_per_cycle / 4, 1),
+    }
+
     fb = _batch_frames(fwdbwd_frame, n_frames=1)
     t_fb = _time_calls(fb, scene, cfg.aspect, iters=2)
     extra["config4_fwdbwd_rays_per_sec"] = round(rays / t_fb)
     extra["config4_fwdbwd_ms"] = round(t_fb * 1e3, 1)
+    # the production-mode forward (parallel RNG + mt-aware auto block):
+    # the headline config-4 forward speed
+    extra["config4_fwd_parallel_rays_per_sec"] = round(rays / t_fwd_p)
     extra["config4_fwd_parallel_ms"] = round(t_fwd_p * 1e3, 1)
     extra["config4_bwd_over_fwd"] = round((t_fb - t_fwd_p) / t_fwd_p, 2)
 
@@ -263,6 +303,27 @@ def bench_refv2(extra):
     t_bwd = _time_calls(f_bwd, scene, cfg.aspect, iters=2)
     extra["refv2_fwdbwd_rays_per_sec"] = round(rays / t_bwd)
     extra["refv2_fwdbwd_ms"] = round(t_bwd * 1e3, 1)
+
+
+def bench_config5(extra):
+    """BASELINE config 5 single-chip anchor (round-2 verdict item 4):
+    1920x1080 @ 500 spp depth 12, 500-sphere scene, ONE megakernel
+    dispatch (the refill loop carries spp in-register).  The pod
+    -scaling story's measured per-chip number."""
+    from raytpu.bvh import build_bvh
+    from raytpu.config import CONFIG5
+    cfg = CONFIG5.replace(rng_mode="parallel")
+    scene = raytpu.final_world()
+    bvh = build_bvh(scene, leaf_size=64)
+    rays = cfg.width * cfg.height * cfg.spp
+
+    @jax.jit
+    def f(s, c):
+        return jnp.sum(render(s, c, cfg, backend="pallas", bvh=bvh))
+
+    t = _time_calls(f, scene, cfg.aspect, iters=1)
+    extra["config5_1chip_fwd_rays_per_sec"] = round(rays / t)
+    extra["config5_1chip_fwd_s"] = round(t, 2)
 
 
 def bench_grad_sweep(extra):
@@ -456,7 +517,8 @@ def main():
     if on_tpu:
         # sections are independent: a failure in one (tunnel hiccup,
         # OOM) must not lose the rest of the round-end snapshot
-        for section in (bench_config4, bench_refv2, bench_grad_sweep):
+        for section in (bench_config4, bench_refv2, bench_config5,
+                        bench_grad_sweep):
             try:
                 section(extra)
             except Exception as e:  # noqa: BLE001

@@ -199,7 +199,8 @@ def main(argv=None) -> int:
     r.add_argument("--scatter-mode", choices=("v2", "v1"), default="v2",
                    help="material semantics generation (v1 = the pixel"
                         "-shader reference's hemisphere diffuse etc.)")
-    r.add_argument("--rng-mode", choices=("sequential", "parallel"),
+    r.add_argument("--rng-mode",
+                   choices=("sequential", "parallel", "v1_fractsin"),
                    default="sequential",
                    help="sequential = reference-parity seed chain; "
                         "parallel = per-sample streams (faster grads)")

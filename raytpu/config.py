@@ -55,3 +55,7 @@ REFERENCE_GOLDEN = RenderConfig(width=1024, height=576, spp=20, depth=12)
 # (ref: main.cpp:83, Shader_RT.fx:392,430,448-450)
 REFERENCE_V1 = RenderConfig(width=640, height=480, spp=1, depth=25,
                             gamma=2.0, scatter_mode="v1")
+# v1 with the generation's literal fract-sin RNG (Shader_RT.fx:106-163,
+# by-value randState defect included) — draw-for-draw reference parity
+# on the golden path (see raytpu/rng.py fs_* helpers)
+REFERENCE_V1_FAITHFUL = REFERENCE_V1.replace(rng_mode="v1_fractsin")

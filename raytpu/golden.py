@@ -151,7 +151,7 @@ def _schlick(cosine, ref_idx):
 
 
 def scatter(scene: Scene, rd, p, normal, front, idx, seed,
-            mode: str = "v2"):
+            mode: str = "v2", fixed_draws=None):
     """Material scatter (ref: ShaderCompute.hlsl:207-252).
 
     Returns (scatter_ok, atten SoA, new_dir SoA, new_seed).  All three
@@ -167,6 +167,11 @@ def scatter(scene: Scene, rd, p, normal, front, idx, seed,
     ``saturate``s the fuzz, adds the hemisphere draw and does not
     normalize.  Dielectric and the draw count are identical in both
     generations.
+
+    ``fixed_draws = (sx, sy, sz, h1)`` replaces the counter-based draws
+    with caller-supplied values and leaves the seed untouched — the
+    v1 fract-sin parity mode (rng_mode="v1_fractsin"), whose by-value
+    state means every bounce of a path reuses the SAME draws.
     """
     rdx, rdy, rdz = rd
     nx, ny, nz = normal
@@ -174,8 +179,12 @@ def scatter(scene: Scene, rd, p, normal, front, idx, seed,
     alb = scene.albedo[idx]
     param = scene.mat_param[idx]
 
-    (sx, sy, sz), seed_new = rng.random_in_unit_sphere(seed)
-    h1, _ = rng.hash1(seed)  # same underlying draw, same new seed
+    if fixed_draws is not None:
+        sx, sy, sz, h1 = fixed_draws
+        seed_new = seed
+    else:
+        (sx, sy, sz), seed_new = rng.random_in_unit_sphere(seed)
+        h1, _ = rng.hash1(seed)  # same underlying draw, same new seed
 
     if mode == "v1":
         # hemisphere flip (Shader_RT.fx:151-163)
@@ -251,7 +260,7 @@ def _sky(rdx, rdy, rdz):
 
 
 def trace(scene: Scene, ro, rd, seed, depth: int, t_min: float,
-          scatter_mode: str = "v2"):
+          scatter_mode: str = "v2", fixed_draws=None):
     """Iterative bounce loop (ref: sample_color, hlsl:255-287).
 
     SoA over pixel shape S; returns ((r,g,b), seed).  Dead lanes are masked;
@@ -282,7 +291,7 @@ def trace(scene: Scene, ro, rd, seed, depth: int, t_min: float,
         pz = oz + t * dz
         ok, (ar, ag, ab), (sx, sy, sz), sd_new = scatter(
             scene, (dx, dy, dz), (px, py, pz), normal, front, idx, sd,
-            scatter_mode)
+            scatter_mode, fixed_draws)
 
         scat = alive & hit_any & ok
         absorbed = alive & hit_any & ~ok
@@ -340,6 +349,56 @@ def accumulate_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
     if init is None:
         init = (zero, zero, zero)
     parallel = cfg.rng_mode == "parallel"
+
+    if cfg.rng_mode == "v1_fractsin":
+        # v1 pixel-shader parity mode (ref: Shader_RT.fx:419-455 PS_Main
+        # + :288-298 get_ray + :106-163 RNG): the float2 state starts at
+        # the pixel's texcoord and ONLY the two jitter draws advance it —
+        # the lens offset and every bounce's scatter/Schlick draws derive
+        # BY VALUE from the same post-jitter state (the reference's
+        # by-value randState defect, reproduced draw-for-draw).  The
+        # u32 ``seed`` is passed through untouched.
+        assert cfg.scatter_mode == "v1", (
+            "rng_mode='v1_fractsin' is the v1 generation's RNG; pair it "
+            "with scatter_mode='v1'")
+        w_f = jnp.float32(cfg.width)
+        h_f = jnp.float32(cfg.height)
+        half = jnp.float32(0.5)
+        # texcoord at pixel centers (the fullscreen-quad interpolant,
+        # ref: :422 randState = frag.tex0)
+        sx0 = (fx + half) / w_f
+        sy0 = (fy + half) / h_f
+
+        def sample_fs(carry, _):
+            acc_r, acc_g, acc_b, sx, sy = carry
+            j1, (sx, sy) = rng.fs_rand2d(sx, sy)
+            j2, (sx, sy) = rng.fs_rand2d(sx, sy)
+            # u = ((tex.x * W) + r) / W (ref: :433-434 — jitter over W,
+            # not the v2 generation's 1.1 / (W - 1))
+            u = (fx + half + j1) / w_f
+            v = (fy + half + j2) / h_f
+            ldx, ldy = rng.fs_unit_disk(sx, sy)          # by value
+            lr = cam.lens_radius
+            ox = cam.origin[0] + lr * (ldx * cam.u[0] + ldy * cam.v[0])
+            oy = cam.origin[1] + lr * (ldx * cam.u[1] + ldy * cam.v[1])
+            oz = cam.origin[2] + lr * (ldx * cam.u[2] + ldy * cam.v[2])
+            rdx = (cam.lower_left[0] + u * cam.horizontal[0]
+                   + v * cam.vertical[0] - ox)
+            rdy = (cam.lower_left[1] + u * cam.horizontal[1]
+                   + v * cam.vertical[1] - oy)
+            rdz = (cam.lower_left[2] + u * cam.horizontal[2]
+                   + v * cam.vertical[2] - oz)
+            s3 = rng.fs_unit_sphere(sx, sy)              # by value
+            h1, _ = rng.fs_rand2d(sx, sy)                # by value
+            (r, g, b), _ = trace(
+                scene, (ox, oy, oz), (rdx, rdy, rdz), seed, cfg.depth,
+                cfg.t_min, cfg.scatter_mode,
+                fixed_draws=(s3[0], s3[1], s3[2], h1))
+            return (acc_r + r, acc_g + g, acc_b + b, sx, sy), None
+
+        (acc_r, acc_g, acc_b, _, _), _ = jax.lax.scan(
+            sample_fs, (*init, sx0, sy0), None, length=spp)
+        return (acc_r, acc_g, acc_b), seed
 
     def one_sample(sd):
         (j1a, _), sd = rng.hash2(sd)

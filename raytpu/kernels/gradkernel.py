@@ -324,7 +324,9 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             -winner while-loop whose trip count (~#distinct winners)
             dominated large-scene PASS 2.  The g planes are bf16x3
             -split at runtime so the matmul's bf16 input cast is
-            lossless (see megakernel._split_bf16x3)."""
+            lossless (see megakernel._split_bf16x3).  (Row-batching
+            the contraction to K = 1024 measured SLOWER — see
+            megakernel._onehot_attrs.)"""
             npd = gsc_acc.shape[1]
             iota = jax.lax.broadcasted_iota(jnp.int32, (npd, _TILE_W), 0)
             zrow = jnp.zeros((1, _TILE_W), jnp.float32)

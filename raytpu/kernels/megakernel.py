@@ -180,7 +180,13 @@ def _onehot_attrs(fat, at_pad, idxf):
     attribute matrix.  EXACT: the one-hot column has a single 1.0 (or
     none for idx = -1 misses -> all-zero attributes), each split rides
     the bf16 input cast losslessly, and hi + mid + lo reconstructs the
-    f32 value with two exact adds."""
+    f32 value with two exact adds.
+
+    MEASURED DEAD END (round 3): batching the rows along the lane axis
+    (one K = rows*W = 1024 matmul via (8,128)->(1,1024) reshapes,
+    bit-identical outputs) LOSES: config-4 fwd 145.0 -> 153.1 ms — the
+    lane-flatten relayouts + the (at_pad, 1024) one-hot build cost more
+    than the deeper-contraction MXU shape saves."""
     w = idxf.shape[1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (at_pad, w), 0)
     attr_rows = []
@@ -1301,9 +1307,12 @@ def _auto_block_w(cfg: RenderConfig, n: int, h: int | None = None) -> int:
     hh = cfg.height if h is None else h
     # at equal grouping, 32 is the round-2 frustum optimum (and the
     # sequential-RNG answer, where grouping never engages); with
-    # grouping engaged, 64 measured best (44.1 vs 43.2/40.1 Mrays/s)
+    # grouping engaged, 64 measured best (config-4: 44.1 vs 43.2/40.1
+    # Mrays/s).  Group returns flatten past ~4 (config-5: 64/mt4 68.6
+    # beats 128/mt8 64.2 Mrays/s), so the mt score caps at 4 and the
+    # frustum preference breaks ties.
     pref = {32: 4, 64: 3, 128: 2, 16: 1}
-    best = max((min(_mt_for(hh, bw, cfg, n), 5) * 10 + p, bw)
+    best = max((min(_mt_for(hh, bw, cfg, n), 4) * 10 + p, bw)
                for bw, p in pref.items())
     return best[1]
 

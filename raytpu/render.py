@@ -69,6 +69,11 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
     bounces.
     """
     backend = _backend(backend, bvh, spp_batch, refill)
+    if cfg.rng_mode == "v1_fractsin":
+        # the v1 fract-sin parity mode lives on the golden path only:
+        # its float-sin draw chain is the numerical fragility the
+        # kernels' counter-based RNG exists to avoid (raytpu/rng.py)
+        backend = "golden"
     if (spp_batch > 1 or refill) and backend != "wavefront":
         raise ValueError(
             "spp_batch > 1 / refill need the wavefront backend")
@@ -116,6 +121,10 @@ def render_grad(scene: Scene, cam: Camera, cfg: RenderConfig, target,
     the fused VJP kernel's sweeps); the golden/adjoint path ignores it.
     """
     backend = _backend(backend)
+    if cfg.rng_mode == "v1_fractsin":
+        raise ValueError(
+            "rng_mode='v1_fractsin' is a forward reference-parity mode; "
+            "use the sequential/parallel RNG modes for gradients")
     if backend == "wavefront":
         backend = "pallas"  # grads flow through the same fused VJP
     if backend == "golden":

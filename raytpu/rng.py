@@ -146,3 +146,97 @@ def random_in_unit_sphere(state):
                   np.float32(0.0))
     s = jnp.sqrt(jnp.maximum(np.float32(1.0) - h * h, np.float32(0.0)))
     return (r * s * jnp.sin(phi), r * s * jnp.cos(phi), r * h), state
+
+
+# ---- v1 fract-sin RNG (parity mode; ref: Shader_RT.fx:106-163) ----
+#
+# The pixel shader generation's RNG: a float2 state advanced by
+# fract(sin(dot(state, (12.9898, 78.233))) * 43758.5453).  Its sampling
+# helpers take the state BY VALUE (the reference's defect — the caller's
+# state never advances through them), so along a v1 path only the two
+# jitter draws advance the state and EVERY bounce reuses draws derived
+# from the same post-jitter state.  raytpu reproduces this draw-for-draw
+# in the golden renderer (rng_mode="v1_fractsin"): the float-sin chain
+# is numerically fragile across compilers (1 ulp of sin -> 2.6e-3 in the
+# fract), which is exactly why the production modes use the counter
+# -based u32 stream above — this mode exists for reference parity only.
+_FS_A = np.float32(12.9898)
+_FS_B = np.float32(78.233)
+_FS_M = np.float32(43758.5453)
+# Cephes-style three-term pi split for the fract-sin chain's pinned
+# argument reduction (args <= ~91.3 -> n <= 30, each product exact-ish)
+_PI_A = np.float32(3.140625)
+_PI_B = np.float32(9.6750259399414062e-4)
+_PI_C = np.float32(1.2154201256553420e-10)
+_INV_PI = np.float32(1.0 / np.pi)
+_S1 = np.float32(-1.6666667e-1)
+_S2 = np.float32(8.3333310e-3)
+_S3 = np.float32(-1.9840874e-4)
+_S4 = np.float32(2.7525562e-6)
+
+
+def _fract(x):
+    return x - jnp.floor(x)
+
+
+def fs_sin(x):
+    """Pinned f32 sine for the fract-sin chain (x in [0, ~92]).
+
+    The chain multiplies sin by 43758.5453 and keeps the fraction, so a
+    1-ulp sine difference moves the draw by ~2.6e-3 and the stream then
+    diverges chaotically — libm sines differ by a few ulps in exactly
+    this argument range (argument reduction), INCLUDING XLA's own
+    scalar vs vectorized codepaths.  The reference's HLSL sin was
+    GPU-implementation-defined anyway, so the spec pins ONE concrete
+    sine: round-to-nearest pi-multiple reduction with a three-term pi
+    split, then an odd minimax polynomial on [-pi/2, pi/2] — plain f32
+    mul/add, reproducible everywhere (scalar oracle twin:
+    tests/hlsl_ref.py fs_sin)."""
+    n = jnp.floor(x * _INV_PI + np.float32(0.5))
+    r = ((x - n * _PI_A) - n * _PI_B) - n * _PI_C
+    r2 = r * r
+    p = _S4
+    p = p * r2 + _S3
+    p = p * r2 + _S2
+    p = p * r2 + _S1
+    s = r + r * (r2 * p)
+    # sin(n*pi + r) = (-1)^n sin(r); n is a small exact float
+    sign = jnp.float32(1.0) - jnp.float32(2.0) * (n - jnp.floor(
+        n * np.float32(0.5)) * np.float32(2.0))
+    return s * sign
+
+
+def fs_rand2d(sx, sy):
+    """One rand2d draw (ref: Shader_RT.fx:106-112): advances the float2
+    state x-then-y (the second sin sees the NEW x) and returns
+    (value = new x, (sx', sy'))."""
+    sx = _fract(fs_sin(sx * _FS_A + sy * _FS_B) * _FS_M)
+    sy = _fract(fs_sin(sx * _FS_A + sy * _FS_B) * _FS_M)
+    return sx, (sx, sy)
+
+
+def fs_unit_sphere(sx, sy):
+    """v1 random_in_unit_sphere (ref: :119-133; BY-VALUE state — the
+    caller's (sx, sy) is NOT advanced): spherical draw with acos
+    latitude and pow-1/3 radius."""
+    r1, st = fs_rand2d(sx, sy)
+    r2, st = fs_rand2d(*st)
+    r3, _ = fs_rand2d(*st)
+    phi = _TWO_PI * r1
+    cos_t = np.float32(2.0) * r2 - np.float32(1.0)
+    theta = jnp.arccos(cos_t)
+    r = r3 ** np.float32(1.0 / 3.0)
+    sin_t = jnp.sin(theta)
+    return (r * sin_t * jnp.cos(phi), r * sin_t * jnp.sin(phi), r * cos_t)
+
+
+def fs_unit_disk(sx, sy):
+    """v1 random_in_unit_disk (ref: :135-144; BY-VALUE state).  The
+    reference's quirk is part of the spec: x = cos(cosTheta) and
+    y = cos(sinTheta) with both 'angles' uniform in [-1, 1] — the
+    'disk' is a small positive square patch [cos 1, 1]^2."""
+    r1, st = fs_rand2d(sx, sy)
+    r2, _ = fs_rand2d(*st)
+    sin_t = np.float32(2.0) * r1 - np.float32(1.0)
+    cos_t = np.float32(2.0) * r2 - np.float32(1.0)
+    return jnp.cos(cos_t), jnp.cos(sin_t)

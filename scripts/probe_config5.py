@@ -13,6 +13,17 @@
 Run:  python -m scripts.probe_config5 tpu    (background it)
       XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python -m scripts.probe_config5 cpu
+
+MEASURED (2026-08-19, v5e):
+  config5 fwd, ONE dispatch of 1.04e9 primary rays:
+    block auto-of-the-time (128/mt8): 16.15 s (64.2 Mrays/s)
+    block 64 (mt4):                   15.11 s (68.6 Mrays/s)
+  -> _auto_block_w's mt score now caps at 4 so it picks 64 here.
+  config5 fwd+bwd @ spp 20 (same geometry): 1.63 s (25.5 Mrays/s).
+  cpu: sharded wavefront at the full 1920x1080 shape, spp 2, on the
+  8-device virtual mesh: compiles + executes OK.
+  Pod extrapolation anchor: a v5e-16 slab render at >= 90% scaling
+  efficiency would put config-5 at ~1.0 s/frame (16 x 68.6 Mrays/s).
 """
 from __future__ import annotations
 

@@ -4,6 +4,20 @@ verdict item 1) + the never-measured BASELINE gradient workloads
 
 Run (background it; NEVER kill an in-flight Mosaic compile):
   python -m scripts.probe_p2_refill
+
+MEASURED (2026-08-19, v5e; config-4 = 800x400 20spp depth12 parallel):
+  step 1 — windowed refill PASS 2 (this probe, strips):
+    fwd 187.4 ms | fwd+bwd per-sample 507.8 ms (12.6 Mrays/s,
+    bwd/fwd 1.71) -> refill 411.5 ms (15.6, bwd/fwd 1.20);
+    checksums agree at 1.7e-5; 100spp 17.6 Mrays/s; REFERENCE_V2
+    depth-50 backward RUNS: 15.9 Mrays/s (2.2 s/frame).
+  step 2 — + block-frustum tiling in the VJP (block 32): 339.7 ms
+    (18.8 Mrays/s).
+  step 3 — + multi-tile grouping (auto block 64 / mt 5):
+    287.7 ms (22.2 Mrays/s); 100 spp 1301.9 ms (24.6 Mrays/s);
+    REFERENCE_V2 backward 1787.8 ms (19.8 Mrays/s).
+  Net round-3: config-4 fwd+bwd 12.6 -> 22.2 Mrays/s (1.77x), and the
+  BASELINE 100-spp gradient workload sits at 24.6.
 """
 from __future__ import annotations
 

@@ -26,6 +26,28 @@ verdict item 2): every factor MEASURED on the chip.
   utilization = modeled vops / (frame_s * measured peak vops/s).
 
 Run (background it): python -m scripts.probe_roofline
+
+MEASURED (2026-08-19, v5e).  Both attempted VPU-peak microbenches are
+UNRELIABLE (0.24-0.5 Tops/s implied, yet the real frame sustains
+~1.4e12 lane-ops/s on the 24-op model — the synthetic loops bottleneck
+somewhere the real kernel does not; do not trust them as denominators).
+The model-free numbers that matter, at the round-2 layout (block 32,
+mt 1, leaf 64):
+    census: 4.12/8 leaves entered per step, 45.8% live lanes,
+    53 G sphere-tests/s achieved.
+At the round-3 production layout (block 64 / mt 5; leaf sweep re-done
+in probe_leaf_r3.py — 64 stays optimal, 128 ties within noise):
+    census: 3.2/4 leaves entered, 68.1% live lanes, 70.5 G tests/s,
+    4.7x tests vs the 1-leaf-per-live-lane ideal.
+    70.5 G lane-tests/s x 24 vops / 1024 lanes = 1.65e9 (8,128)-vector
+    -ops/s = 1.76 vops/cycle at 940 MHz — between 44% (4-ALU VPU) and
+    88% (2-ALU) issue efficiency on the sweep alone.
+Lever ranking this implies: (1) dead lanes are now 32% (was 54%) —
+structural per-pixel path-length imbalance, would need cross-lane work
+stealing; (2) leaf-union overcount 4.7x — tile-coherent traversal's
+price, finer leaves measured slower (probe_leaf_r3); (3) issue
+efficiency at most ~2x and likely near-saturated.  No single remaining
+lever is >2x; the big occupancy lever (multi-tile grouping) is shipped.
 """
 from __future__ import annotations
 

@@ -10,6 +10,21 @@
      block_w=128 strip (grid0 50, mt 5).
 
 Run: python -m scripts.probe_sweepk   (background it)
+
+MEASURED (2026-08-19, v5e, all checksums bit-identical):
+  block32 k=1 (round-2 default) 183.4 ms  34.9 Mrays/s
+  block32 k=2                   181.7 ms  35.2
+  block32 k=4                   182.9 ms  35.0
+  block64 k=1 (mt5)             145.0 ms  44.1   <- shipped default
+  block16 k=1 (mt7)             148.2 ms  43.2
+  block128 k=1 (mt5)            159.7 ms  40.1
+  block64 k=4                   145.3 ms  44.0
+-> (a) K-way select-chain splitting is NEUTRAL: the sweep is not
+   latency-bound on the (t, idx) chain (Mosaic already overlaps the
+   per-test independent work).  Kept behind RAYTPU_SWEEP_K as a probe.
+   (b) the multi-tile grouping is worth ~25% and the round-2 block-32
+   default silently disabled it (prime row-block count) — fixed by
+   megakernel._auto_block_w.
 """
 from __future__ import annotations
 
