@@ -358,9 +358,10 @@ def accumulate_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
         # BY VALUE from the same post-jitter state (the reference's
         # by-value randState defect, reproduced draw-for-draw).  The
         # u32 ``seed`` is passed through untouched.
-        assert cfg.scatter_mode == "v1", (
-            "rng_mode='v1_fractsin' is the v1 generation's RNG; pair it "
-            "with scatter_mode='v1'")
+        if cfg.scatter_mode != "v1":
+            raise ValueError(
+                "rng_mode='v1_fractsin' is the v1 generation's RNG; "
+                "pair it with scatter_mode='v1'")
         w_f = jnp.float32(cfg.width)
         h_f = jnp.float32(cfg.height)
         half = jnp.float32(0.5)
@@ -368,6 +369,18 @@ def accumulate_pixels(scene: Scene, cam: Camera, cfg: RenderConfig,
         # ref: :422 randState = frag.tex0)
         sx0 = (fx + half) / w_f
         sy0 = (fy + half) / h_f
+        # batched accumulation: the float2 state is not part of the
+        # carried u32 seed, so FAST-FORWARD the 2 jitter advances of
+        # the s0 samples already rendered — batch-of-batches stays
+        # draw-identical to a one-shot render (s0 may be traced; the
+        # loop is 0-trip for a plain full render)
+        def ff(_, st):
+            _, st = rng.fs_rand2d(*st)
+            _, st = rng.fs_rand2d(*st)
+            return st
+
+        sx0, sy0 = jax.lax.fori_loop(
+            0, jnp.asarray(s0).astype(jnp.int32), ff, (sx0, sy0))
 
         def sample_fs(carry, _):
             acc_r, acc_g, acc_b, sx, sy = carry

@@ -498,6 +498,138 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             per tile, dominated large-scene PASS 2)."""
             return _onehot_attrs(fat_ref[:, :], fat_pad, idx_f)
 
+
+        def silhouette_terms(ro3, rd3, thr3, attrs, scat, missed, v3,
+                             dacc3, g_attrs):
+            """Silhouette (boundary) gradients — the Pallas twin of
+            adjoint._trace_bwd's soft-coverage straight-through terms
+            (adjoint.py boundary()): only d(alpha) enters, scaled by
+            the radiance jump the coverage flip would cause.  ONE
+            definition shared by both PASS-2 variants (per-sample and
+            windowed refill): hit-side terms are folded into
+            ``g_attrs`` (returned) and the near-miss side is scattered
+            directly.  ``v3`` is the sample's total radiance, ``dacc3``
+            the lane's cotangent scale."""
+            ox, oy, oz = ro3
+            dx, dy, dz = rd3
+            cr, cg, cb = thr3
+            v_r, v_g, v_b = v3
+            da_r, da_g, da_b = dacc3
+            vw = np.float32(vis_w)
+            skr, skg, skb = _sky(dx, dy, dz)
+            a_d = _dot3(dx, dy, dz, dx, dy, dz)
+
+            def boundary(C_x, C_y, C_z, R_, jr, jg, jb, mask):
+                ocx = ox - C_x
+                ocy = oy - C_y
+                ocz = oz - C_z
+                hb = ocx * dx + ocy * dy + ocz * dz
+                c_ = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                      - R_ * R_)
+                disc = hb * hb - a_d * c_
+                sref = a_d * vw
+                sig = 1.0 / (1.0 + jnp.exp(-disc / sref))
+                dsig = sig * (1.0 - sig) / sref
+                w_ct = da_r * jr + da_g * jg + da_b * jb
+                f = jnp.where(mask, dsig * w_ct, 0.0)
+                # d disc/d center = 2a*oc - 2hb*d; /d radius = 2aR
+                return (f * (2 * a_d * ocx - 2 * hb * dx),
+                        f * (2 * a_d * ocy - 2 * hb * dy),
+                        f * (2 * a_d * ocz - 2 * hb * dz),
+                        f * (2 * a_d * R_))
+
+            # hit side: losing coverage switches this sample's
+            # radiance from its traced value to throughput * sky;
+            # rides the existing per-winner scatter via g_attrs
+            bcx, bcy, bcz, brad = boundary(
+                attrs[0], attrs[1], attrs[2], attrs[3],
+                v_r - cr * skr, v_g - cg * skg, v_b - cb * skb,
+                scat)
+            g_attrs = (g_attrs[0] + bcx, g_attrs[1] + bcy,
+                       g_attrs[2] + bcz, g_attrs[3] + brad,
+                       *g_attrs[4:])
+
+            # miss side: nearest forward near-miss sphere gaining
+            # coverage (argmax of negative discriminant,
+            # adjoint._near_miss_sweep), with the crude one
+            # -diffuse-bounce radiance estimate
+            def nm_body(j, st):
+                (best, bi_m, m_cx, m_cy, m_cz, m_rad,
+                 m_mt, m_ar, m_ag, m_ab) = st
+                s_cx = sc_ref[0, j]
+                s_cy = sc_ref[1, j]
+                s_cz = sc_ref[2, j]
+                s_rad = sc_ref[3, j]
+                s_mt = sc_ref[4, j]
+                s_ar = sc_ref[5, j]
+                s_ag = sc_ref[6, j]
+                s_ab = sc_ref[7, j]
+                ocx = ox - s_cx
+                ocy = oy - s_cy
+                ocz = oz - s_cz
+                hb = ocx * dx + ocy * dy + ocz * dz
+                c_ = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
+                      - s_rad * s_rad)
+                disc = hb * hb - a_d * c_
+                sc = jnp.where((hb < 0) & (disc < 0), disc, -_INF)
+                win = sc > best
+                return (jnp.where(win, sc, best),
+                        jnp.where(win, j.astype(jnp.float32),
+                                  bi_m),
+                        jnp.where(win, s_cx, m_cx),
+                        jnp.where(win, s_cy, m_cy),
+                        jnp.where(win, s_cz, m_cz),
+                        jnp.where(win, s_rad, m_rad),
+                        jnp.where(win, s_mt, m_mt),
+                        jnp.where(win, s_ar, m_ar),
+                        jnp.where(win, s_ag, m_ag),
+                        jnp.where(win, s_ab, m_ab))
+
+            nm0 = (zero - _INF, zero, zero, zero, zero, one,
+                   zero, zero, zero, zero)
+            (best, bi_m, m_cx, m_cy, m_cz, m_rad,
+             m_mt, m_ar, m_ag, m_ab) = jax.lax.fori_loop(
+                0, dyn_nsph, nm_body, nm0)
+            nm_mask = missed & (best > -_INF)
+            # covered-radiance estimate by material at the
+            # grazing boundary (adjoint._trace_bwd's twin):
+            # diffuse -> alb * sky(boundary normal); metal ->
+            # alb * sky(reflect); glass -> sky(reflect), unit
+            # attenuation (grazing Schlick -> 1)
+            mocx = ox - m_cx
+            mocy = oy - m_cy
+            mocz = oz - m_cz
+            hb_m = mocx * dx + mocy * dy + mocz * dz
+            t_ca = -hb_m / a_d
+            nbx, nby, nbz = _normalize3(mocx + t_ca * dx,
+                                        mocy + t_ca * dy,
+                                        mocz + t_ca * dz)
+            udx, udy, udz = _normalize3(dx, dy, dz)
+            rfx, rfy, rfz = _reflect(udx, udy, udz,
+                                     nbx, nby, nbz)
+            n_r, n_g, n_b = _sky(nbx, nby, nbz)
+            f_r, f_g, f_b = _sky(rfx, rfy, rfz)
+            is_dm = m_mt == 0.0
+            is_gm = m_mt == 2.0
+
+            def est(alb_c, sky_n, sky_f):
+                return jnp.where(
+                    is_dm, alb_c * sky_n,
+                    jnp.where(is_gm, sky_f, alb_c * sky_f))
+
+            mcx, mcy, mcz, mrad = boundary(
+                m_cx, m_cy, m_cz, m_rad,
+                cr * est(m_ar, n_r, f_r) - v_r,
+                cg * est(m_ag, n_g, f_g) - v_g,
+                cb * est(m_ab, n_b, f_b) - v_b,
+                nm_mask)
+
+            zz = zero
+            scatter_attr_grads(
+                jnp.where(nm_mask, bi_m, -1.0),
+                (mcx, mcy, mcz, mrad, zz, zz, zz, zz, zz))
+            return g_attrs
+
         def fwd_sample(sd, store, s):
             """One sample's forward; optionally stores residuals.
 
@@ -683,124 +815,10 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                      (d_cr, d_cg, d_cb), (dacc_r, dacc_g, dacc_b)))
 
                 if vis_w > 0:
-                    # -- silhouette (boundary) gradients, the Pallas twin
-                    # of adjoint._trace_bwd's soft-coverage straight
-                    # -through terms (adjoint.py boundary()): only
-                    # d(alpha) enters, scaled by the radiance jump the
-                    # coverage flip would cause.
-                    vw = np.float32(vis_w)
-                    skr, skg, skb = _sky(dx, dy, dz)
-                    a_d = _dot3(dx, dy, dz, dx, dy, dz)
-
-                    def boundary(C_x, C_y, C_z, R_, jr, jg, jb, mask):
-                        ocx = ox - C_x
-                        ocy = oy - C_y
-                        ocz = oz - C_z
-                        hb = ocx * dx + ocy * dy + ocz * dz
-                        c_ = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
-                              - R_ * R_)
-                        disc = hb * hb - a_d * c_
-                        sref = a_d * vw
-                        sig = 1.0 / (1.0 + jnp.exp(-disc / sref))
-                        dsig = sig * (1.0 - sig) / sref
-                        w_ct = dacc_r * jr + dacc_g * jg + dacc_b * jb
-                        f = jnp.where(mask, dsig * w_ct, 0.0)
-                        # d disc/d center = 2a*oc - 2hb*d; /d radius = 2aR
-                        return (f * (2 * a_d * ocx - 2 * hb * dx),
-                                f * (2 * a_d * ocy - 2 * hb * dy),
-                                f * (2 * a_d * ocz - 2 * hb * dz),
-                                f * (2 * a_d * R_))
-
-                    # hit side: losing coverage switches this sample's
-                    # radiance from its traced value to throughput * sky;
-                    # rides the existing per-winner scatter via g_attrs
-                    bcx, bcy, bcz, brad = boundary(
-                        attrs[0], attrs[1], attrs[2], attrs[3],
-                        v_r - cr * skr, v_g - cg * skg, v_b - cb * skb,
-                        scat)
-                    g_attrs = (g_attrs[0] + bcx, g_attrs[1] + bcy,
-                               g_attrs[2] + bcz, g_attrs[3] + brad,
-                               *g_attrs[4:])
-
-                    # miss side: nearest forward near-miss sphere gaining
-                    # coverage (argmax of negative discriminant,
-                    # adjoint._near_miss_sweep), with the crude one
-                    # -diffuse-bounce radiance estimate
-                    def nm_body(j, st):
-                        (best, bi_m, m_cx, m_cy, m_cz, m_rad,
-                         m_mt, m_ar, m_ag, m_ab) = st
-                        s_cx = sc_ref[0, j]
-                        s_cy = sc_ref[1, j]
-                        s_cz = sc_ref[2, j]
-                        s_rad = sc_ref[3, j]
-                        s_mt = sc_ref[4, j]
-                        s_ar = sc_ref[5, j]
-                        s_ag = sc_ref[6, j]
-                        s_ab = sc_ref[7, j]
-                        ocx = ox - s_cx
-                        ocy = oy - s_cy
-                        ocz = oz - s_cz
-                        hb = ocx * dx + ocy * dy + ocz * dz
-                        c_ = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
-                              - s_rad * s_rad)
-                        disc = hb * hb - a_d * c_
-                        sc = jnp.where((hb < 0) & (disc < 0), disc, -_INF)
-                        win = sc > best
-                        return (jnp.where(win, sc, best),
-                                jnp.where(win, j.astype(jnp.float32),
-                                          bi_m),
-                                jnp.where(win, s_cx, m_cx),
-                                jnp.where(win, s_cy, m_cy),
-                                jnp.where(win, s_cz, m_cz),
-                                jnp.where(win, s_rad, m_rad),
-                                jnp.where(win, s_mt, m_mt),
-                                jnp.where(win, s_ar, m_ar),
-                                jnp.where(win, s_ag, m_ag),
-                                jnp.where(win, s_ab, m_ab))
-
-                    nm0 = (zero - _INF, zero, zero, zero, zero, one,
-                           zero, zero, zero, zero)
-                    (best, bi_m, m_cx, m_cy, m_cz, m_rad,
-                     m_mt, m_ar, m_ag, m_ab) = jax.lax.fori_loop(
-                        0, dyn_nsph, nm_body, nm0)
-                    nm_mask = missed & (best > -_INF)
-                    # covered-radiance estimate by material at the
-                    # grazing boundary (adjoint._trace_bwd's twin):
-                    # diffuse -> alb * sky(boundary normal); metal ->
-                    # alb * sky(reflect); glass -> sky(reflect), unit
-                    # attenuation (grazing Schlick -> 1)
-                    mocx = ox - m_cx
-                    mocy = oy - m_cy
-                    mocz = oz - m_cz
-                    hb_m = mocx * dx + mocy * dy + mocz * dz
-                    t_ca = -hb_m / a_d
-                    nbx, nby, nbz = _normalize3(mocx + t_ca * dx,
-                                                mocy + t_ca * dy,
-                                                mocz + t_ca * dz)
-                    udx, udy, udz = _normalize3(dx, dy, dz)
-                    rfx, rfy, rfz = _reflect(udx, udy, udz,
-                                             nbx, nby, nbz)
-                    n_r, n_g, n_b = _sky(nbx, nby, nbz)
-                    f_r, f_g, f_b = _sky(rfx, rfy, rfz)
-                    is_dm = m_mt == 0.0
-                    is_gm = m_mt == 2.0
-
-                    def est(alb_c, sky_n, sky_f):
-                        return jnp.where(
-                            is_dm, alb_c * sky_n,
-                            jnp.where(is_gm, sky_f, alb_c * sky_f))
-
-                    mcx, mcy, mcz, mrad = boundary(
-                        m_cx, m_cy, m_cz, m_rad,
-                        cr * est(m_ar, n_r, f_r) - v_r,
-                        cg * est(m_ag, n_g, f_g) - v_g,
-                        cb * est(m_ab, n_b, f_b) - v_b,
-                        nm_mask)
-
-                    zz = zero
-                    scatter_attr_grads(
-                        jnp.where(nm_mask, bi_m, -1.0),
-                        (mcx, mcy, mcz, mrad, zz, zz, zz, zz, zz))
+                    g_attrs = silhouette_terms(
+                        (ox, oy, oz), (dx, dy, dz), (cr, cg, cb),
+                        attrs, scat, missed, (v_r, v_g, v_b),
+                        (dacc_r, dacc_g, dacc_b), g_attrs)
 
                 # attr cotangents -> per-winner accumulator rows via
                 # the one-hot matmul (masked lanes contribute nothing)
@@ -1064,109 +1082,10 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                          (dacc_r_g, dacc_g_g, dacc_b_g)))
 
                     if vis_w > 0:
-                        # silhouette terms: op-for-op the per-sample
-                        # rev_body's (see p2_body above), with v from the
-                        # carry instead of the fwd_sample return
-                        vw = np.float32(vis_w)
-                        a_d = _dot3(dx, dy, dz, dx, dy, dz)
-
-                        def boundary(C_x, C_y, C_z, R_, jr, jg, jb, mask):
-                            ocx = ox - C_x
-                            ocy = oy - C_y
-                            ocz = oz - C_z
-                            hb = ocx * dx + ocy * dy + ocz * dz
-                            c_ = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
-                                  - R_ * R_)
-                            disc = hb * hb - a_d * c_
-                            sref = a_d * vw
-                            sig = 1.0 / (1.0 + jnp.exp(-disc / sref))
-                            dsig = sig * (1.0 - sig) / sref
-                            w_ct = (dacc_r_g * jr + dacc_g_g * jg
-                                    + dacc_b_g * jb)
-                            fb = jnp.where(mask, dsig * w_ct, 0.0)
-                            return (fb * (2 * a_d * ocx - 2 * hb * dx),
-                                    fb * (2 * a_d * ocy - 2 * hb * dy),
-                                    fb * (2 * a_d * ocz - 2 * hb * dz),
-                                    fb * (2 * a_d * R_))
-
-                        bcx, bcy, bcz, brad = boundary(
-                            attrs[0], attrs[1], attrs[2], attrs[3],
-                            v_r - cr * skr, v_g - cg * skg,
-                            v_b - cb * skb, scat)
-                        g_attrs = (g_attrs[0] + bcx, g_attrs[1] + bcy,
-                                   g_attrs[2] + bcz, g_attrs[3] + brad,
-                                   *g_attrs[4:])
-
-                        def nm_body(j, st_):
-                            (best, bi_m, m_cx, m_cy, m_cz, m_rad,
-                             m_mt, m_ar, m_ag, m_ab) = st_
-                            s_cx = sc_ref[0, j]
-                            s_cy = sc_ref[1, j]
-                            s_cz = sc_ref[2, j]
-                            s_rad = sc_ref[3, j]
-                            s_mt = sc_ref[4, j]
-                            s_ar = sc_ref[5, j]
-                            s_ag = sc_ref[6, j]
-                            s_ab = sc_ref[7, j]
-                            ocx = ox - s_cx
-                            ocy = oy - s_cy
-                            ocz = oz - s_cz
-                            hb = ocx * dx + ocy * dy + ocz * dz
-                            c_ = (_dot3(ocx, ocy, ocz, ocx, ocy, ocz)
-                                  - s_rad * s_rad)
-                            disc = hb * hb - a_d * c_
-                            sc = jnp.where((hb < 0) & (disc < 0), disc,
-                                           -_INF)
-                            win = sc > best
-                            return (jnp.where(win, sc, best),
-                                    jnp.where(win, j.astype(jnp.float32),
-                                              bi_m),
-                                    jnp.where(win, s_cx, m_cx),
-                                    jnp.where(win, s_cy, m_cy),
-                                    jnp.where(win, s_cz, m_cz),
-                                    jnp.where(win, s_rad, m_rad),
-                                    jnp.where(win, s_mt, m_mt),
-                                    jnp.where(win, s_ar, m_ar),
-                                    jnp.where(win, s_ag, m_ag),
-                                    jnp.where(win, s_ab, m_ab))
-
-                        nm0 = (zero - _INF, zero, zero, zero, zero, one,
-                               zero, zero, zero, zero)
-                        (best, bi_m, m_cx, m_cy, m_cz, m_rad,
-                         m_mt, m_ar, m_ag, m_ab) = jax.lax.fori_loop(
-                            0, dyn_nsph, nm_body, nm0)
-                        nm_mask = missed & (best > -_INF)
-                        mocx = ox - m_cx
-                        mocy = oy - m_cy
-                        mocz = oz - m_cz
-                        hb_m = mocx * dx + mocy * dy + mocz * dz
-                        t_ca = -hb_m / a_d
-                        nbx, nby, nbz = _normalize3(mocx + t_ca * dx,
-                                                    mocy + t_ca * dy,
-                                                    mocz + t_ca * dz)
-                        udx, udy, udz = _normalize3(dx, dy, dz)
-                        rfx, rfy, rfz = _reflect(udx, udy, udz,
-                                                 nbx, nby, nbz)
-                        n_r, n_g, n_b = _sky(nbx, nby, nbz)
-                        f_r, f_g, f_b = _sky(rfx, rfy, rfz)
-                        is_dm = m_mt == 0.0
-                        is_gm = m_mt == 2.0
-
-                        def est(alb_c, sky_n, sky_f):
-                            return jnp.where(
-                                is_dm, alb_c * sky_n,
-                                jnp.where(is_gm, sky_f, alb_c * sky_f))
-
-                        mcx, mcy, mcz, mrad = boundary(
-                            m_cx, m_cy, m_cz, m_rad,
-                            cr * est(m_ar, n_r, f_r) - v_r,
-                            cg * est(m_ag, n_g, f_g) - v_g,
-                            cb * est(m_ab, n_b, f_b) - v_b,
-                            nm_mask)
-                        zz = zero
-                        scatter_attr_grads(
-                            jnp.where(nm_mask, bi_m, -1.0),
-                            (mcx, mcy, mcz, mrad, zz, zz, zz, zz, zz))
+                        g_attrs = silhouette_terms(
+                            (ox, oy, oz), (dx, dy, dz), (cr, cg, cb),
+                            attrs, scat, missed, (v_r, v_g, v_b),
+                            (dacc_r_g, dacc_g_g, dacc_b_g), g_attrs)
 
                     scatter_attr_grads(idx_f, g_attrs)
 

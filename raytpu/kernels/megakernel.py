@@ -1286,9 +1286,11 @@ def _pack_flat_at(packed, min_pad: int = 8):
 def _mt_for(h: int, block_w: int, cfg: RenderConfig, n: int) -> int:
     """The multi-tile group factor _render_pallas_fwd_impl will pick for
     this (frame height, block shape) — 1 when grouping can't engage."""
+    # the strided probe layout only exists for full-width strips — the
+    # kernel's own gate (strided = _STRIDED and block_w == _TILE_W)
     if not (_MULTI_TILE > 1 and cfg.rng_mode == "parallel"
             and (not _NO_EARLY_EXIT) and n >= _REFILL_MIN
-            and not _STRIDED):
+            and not (_STRIDED and block_w == _TILE_W)):
         return 1
     block_h = (_TILE_H * _TILE_W) // block_w
     g0 = -(-h // block_h)

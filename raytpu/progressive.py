@@ -124,6 +124,12 @@ def image(state: ProgressiveState, cfg: RenderConfig) -> jnp.ndarray:
 
 # -- checkpoint / resume -----------------------------------------------------
 
+# checkpoint enum encodings (round 3: v1 modes become representable —
+# older 6-int checkpoints load with the old defaults)
+_RNG_MODES = ("sequential", "parallel", "v1_fractsin")
+_SCATTER_MODES = ("v2", "v1")
+
+
 def save_checkpoint(path: str, state: ProgressiveState,
                     cfg: RenderConfig) -> None:
     """Write render state + config to an .npz (portable across hosts)."""
@@ -134,7 +140,9 @@ def save_checkpoint(path: str, state: ProgressiveState,
         samples=np.asarray(state.samples),
         config=np.array([cfg.width, cfg.height, cfg.spp, cfg.depth,
                          cfg.chunk_pixels,
-                         1 if cfg.rng_mode == "parallel" else 0], np.int64),
+                         _RNG_MODES.index(cfg.rng_mode),
+                         _SCATTER_MODES.index(cfg.scatter_mode)],
+                        np.int64),
         config_f=np.array([cfg.t_min, cfg.gamma], np.float64),
     )
 
@@ -143,11 +151,12 @@ def load_checkpoint(path: str) -> tuple[ProgressiveState, RenderConfig]:
     z = np.load(path)
     cvals = [int(v) for v in z["config"]]
     w, h, spp, depth, chunk = cvals[:5]
-    par = bool(cvals[5]) if len(cvals) > 5 else False
+    rng_mode = _RNG_MODES[cvals[5]] if len(cvals) > 5 else "sequential"
+    scatter = _SCATTER_MODES[cvals[6]] if len(cvals) > 6 else "v2"
     t_min, gamma = (float(v) for v in z["config_f"])
     cfg = RenderConfig(width=w, height=h, spp=spp, depth=depth,
                        t_min=t_min, gamma=gamma, chunk_pixels=chunk,
-                       rng_mode="parallel" if par else "sequential")
+                       rng_mode=rng_mode, scatter_mode=scatter)
     state = ProgressiveState(
         acc=jnp.asarray(z["acc"]),
         seed=jnp.asarray(z["seed"]),

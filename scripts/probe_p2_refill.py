@@ -21,7 +21,6 @@ MEASURED (2026-08-19, v5e; config-4 = 800x400 20spp depth12 parallel):
 """
 from __future__ import annotations
 
-import os
 import time
 
 import jax
@@ -47,17 +46,6 @@ def time_calls(fn, scene, aspect, iters=3):
         float(fn(scene, _cam(i, aspect)))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[len(ts) // 2]
-
-
-def fwdbwd_fn(cfg, bvh, target, p2_refill):
-    def frame(s, c):
-        def loss_fn(s, c):
-            img = render(s, c, cfg, backend="pallas", bvh=bvh)
-            return jnp.mean((img - target) ** 2)
-        g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
-        return (jnp.sum(g[0].center) + jnp.sum(g[0].albedo)
-                + jnp.sum(g[1].origin))
-    return jax.jit(frame)
 
 
 def grads_direct(cfg, bvh, p2_refill):

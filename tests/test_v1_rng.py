@@ -145,3 +145,25 @@ def test_grad_rejects_parity_mode():
         raytpu.render_grad(scene, cam, cfg,
                            np.zeros((cfg.height, cfg.width, 3),
                                     np.float32))
+
+
+def test_v1_fractsin_batched_accumulation_and_checkpoint():
+    """Batched accumulation must stay draw-identical to a one-shot
+    render (the float2 state is fast-forwarded by s0 samples), and the
+    checkpoint encoding must round-trip the v1 modes."""
+    import os
+    import tempfile
+    from raytpu import progressive
+    cfg = _cfg(spp=4, depth=4)
+    scene = raytpu.test_world()
+    cam, _ = _cam_dicts(cfg, aperture=0.0)
+    one = np.asarray(raytpu.render(scene, cam, cfg, backend="golden"))
+    st = progressive.init_state(cfg)
+    st = progressive.accumulate(scene, cam, cfg, st, 2)
+    st = progressive.accumulate(scene, cam, cfg, st, 2)
+    img = np.asarray(progressive.image(st, cfg))
+    np.testing.assert_array_equal(one, img)
+    p = os.path.join(tempfile.mkdtemp(), "ck.npz")
+    progressive.save_checkpoint(p, st, cfg)
+    _, cfg2 = progressive.load_checkpoint(p)
+    assert cfg2 == cfg
