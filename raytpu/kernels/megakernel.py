@@ -851,7 +851,7 @@ def make_refill_step(bounce, gen_ray, seed0, dyn_depth_f, dyn_spp_f,
     rule).
 
     ``multi = (n_tiles, hop, py0_i, px_u32, fy0, flush)`` selects the
-    MULTI-TILE persistent variant (parallel RNG only): the state grows
+    MULTI-TILE persistent variant: the state grows
     a 20th plane ``m_pl`` (the lane's current tile within its group,
     f32) and a lane that exhausts tile m's spp budget flushes its
     accumulators via ``flush(mask, m_pl, fr, fg, fb)`` (a predicated
@@ -865,7 +865,6 @@ def make_refill_step(bounce, gen_ray, seed0, dyn_depth_f, dyn_spp_f,
     stride = jnp.uint32(sample_stride)
 
     if multi is not None:
-        assert parallel, "multi-tile refill needs parallel RNG streams"
         n_tiles, hop, py0_i, px_u32, fy0, flush = multi
         n_tiles_f = jnp.float32(n_tiles)
 
@@ -898,9 +897,19 @@ def make_refill_step(bounce, gen_ray, seed0, dyn_depth_f, dyn_spp_f,
             m_i = m_next.astype(jnp.int32)
             py_u = (py0_i + hop * m_i).astype(jnp.uint32)
             seed0_cur = rng.pixel_seed(px_u32, py_u)
-            sd_r = rng.fold_in(
-                seed0_cur, s_eff.astype(jnp.int32)
-                .astype(jnp.uint32) * stride + sample_base)
+            if parallel:
+                sd_r = rng.fold_in(
+                    seed0_cur, s_eff.astype(jnp.int32)
+                    .astype(jnp.uint32) * stride + sample_base)
+            else:
+                # sequential chains are PER-PIXEL: a tile hop starts the
+                # new pixel's chain at its base seed; an in-tile respawn
+                # continues the lane's chain — exactly the single-tile
+                # sequential loop's semantics, so images stay
+                # bit-identical (round 3: grouping no longer requires
+                # parallel streams; the reference-parity sequential
+                # rows get the same tail amortization)
+                sd_r = jnp.where(tile_done, seed0_cur, sd)
             fy_cur = fy0 + jnp.float32(hop) * m_next
             nox, noy, noz, ndx, ndy, ndz, sd_n = gen_ray(sd_r, fy_cur)
             ox = jnp.where(more, nox, ox)
@@ -1002,10 +1011,9 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
     block_h = (_TILE_H * _TILE_W) // block_w
     refill = (not _NO_EARLY_EXIT) and n_spheres >= _REFILL_MIN
     if multi_tile > 1:
-        assert (refill and parallel and not carry_state
+        assert (refill and not carry_state
                 and not strided), (
-            "multi-tile needs the refill loop, parallel RNG and no "
-            "carried state")
+            "multi-tile needs the refill loop and no carried state")
 
     def kernel(cam_ref, sc_ref, *rest):
         mx_ref = at_ref = fat_ref = None
@@ -1287,9 +1295,11 @@ def _mt_for(h: int, block_w: int, cfg: RenderConfig, n: int) -> int:
     """The multi-tile group factor _render_pallas_fwd_impl will pick for
     this (frame height, block shape) — 1 when grouping can't engage."""
     # the strided probe layout only exists for full-width strips — the
-    # kernel's own gate (strided = _STRIDED and block_w == _TILE_W)
-    if not (_MULTI_TILE > 1 and cfg.rng_mode == "parallel"
-            and (not _NO_EARLY_EXIT) and n >= _REFILL_MIN
+    # kernel's own gate (strided = _STRIDED and block_w == _TILE_W).
+    # Both RNG modes group since round 3 (sequential chains are
+    # per-pixel; a tile hop just starts the new pixel's chain).
+    if not (_MULTI_TILE > 1 and (not _NO_EARLY_EXIT)
+            and n >= _REFILL_MIN
             and not (_STRIDED and block_w == _TILE_W)):
         return 1
     block_h = (_TILE_H * _TILE_W) // block_w
@@ -1387,7 +1397,6 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
     # engine (parallel RNG, row tiling).  mt=1 is the plain layout.
     mt = 1
     if (_MULTI_TILE > 1 and not strided
-            and cfg.rng_mode == "parallel"
             and (not _NO_EARLY_EXIT) and n >= _REFILL_MIN):
         mt = max(d for d in range(1, _MULTI_TILE + 1)
                  if grid[0] % d == 0)

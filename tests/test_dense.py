@@ -289,3 +289,27 @@ def test_gradkernel_skip_pointer_outlier_split(monkeypatch):
         a, bb = np.asarray(getattr(ds, k)), np.asarray(getattr(gs, k))
         scale = max(np.abs(bb).max(), 1e-8)
         assert np.abs(a - bb).max() / scale < 1e-4, k
+
+
+def test_sequential_multi_tile_bit_equal(monkeypatch):
+    """Multi-tile refill grouping under SEQUENTIAL RNG (round 3): a
+    tile hop starts the new pixel's chain at its base seed, an in-tile
+    respawn continues the lane's chain — images must stay bit-identical
+    to the single-tile layout."""
+    from raytpu.kernels import megakernel as mk
+    from raytpu.bvh import build_bvh
+    monkeypatch.setattr(mk, "_REFILL_MIN", 0)
+    scene = raytpu.config2_world()
+    bvh = build_bvh(scene)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
+                             vfov=20.0, aspect=2.0)
+    cfg = RenderConfig(width=128, height=64, spp=3, depth=4)
+    assert mk._mt_for(64, 32, cfg, scene.count) > 1
+    img_mt = np.asarray(mk._render_pallas_fwd_impl(
+        scene, cam, cfg, True, bvh.nodes, bvh.perm, block_w=32,
+        leaf_size=bvh.leaf_size, flat=bvh.flat))
+    monkeypatch.setattr(mk, "_MULTI_TILE", 1)
+    img_1 = np.asarray(mk._render_pallas_fwd_impl(
+        scene, cam, cfg, True, bvh.nodes, bvh.perm, block_w=32,
+        leaf_size=bvh.leaf_size, flat=bvh.flat))
+    np.testing.assert_array_equal(img_mt, img_1)
