@@ -117,6 +117,25 @@ def bench_config2(extra):
 
     fwdbwd = _batch_frames(fwdbwd_frame)
     t_fb = _time_calls(fwdbwd, scene, cfg.aspect) / _FRAMES
+
+    # production RNG mode: parallel streams let the fused VJP elide its
+    # PASS-1 forward (the custom_vjp hands it the rendered image)
+    if backend == "pallas":
+        cfg_p = cfg.replace(rng_mode="parallel")
+
+        def fwdbwd_p(s, c):
+            def loss_fn(s, c):
+                img = render(s, c, cfg_p, backend=backend)
+                return jnp.mean((img - target) ** 2)
+            g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
+            return jnp.sum(g[0].center) + jnp.sum(g[1].origin)
+
+        fb_p = _batch_frames(fwdbwd_p)
+        t_fb_p = _time_calls(fb_p, scene, cfg.aspect) / _FRAMES
+        extra["config2_fwdbwd_parallel_rays_per_sec"] = round(
+            rays / t_fb_p)
+        extra["config2_fwdbwd_parallel_ms"] = round(t_fb_p * 1e3, 2)
+
     extra.update(
         backend=backend,
         config2="test_world 400x200 20spp depth12",

@@ -196,9 +196,12 @@ _NWREFILL = 14
 _F_SCAT, _F_MISS, _F_FRESH, _F_FIN = 1, 2, 4, 8
 # residual-step VMEM budget for the refill PASS 2 (per-window step cap;
 # lanes park at a sample boundary when the buffer can't fit another
-# full-depth sample, and the outer window loop resumes them)
+# full-depth sample, and the outer window loop resumes them).  Swept on
+# hardware (config 4, mt5): 6/10/12 MB -> 285.9/282.2/280.0 ms — the
+# parking tail costs ~2%, i.e. the VJP is compute-bound, not
+# window-bound; 10 MB keeps headroom for the depth-50 shapes.
 _P2_VMEM_BUDGET = int(__import__("os").environ.get(
-    "RAYTPU_P2_VMEM", 6 * 2**20))
+    "RAYTPU_P2_VMEM", 10 * 2**20))
 # PASS-1 winner-index planes (spp x depth x tile) are stored only when
 # they fit this VMEM budget; beyond it PASS 2 falls back to re-running
 # the closest-hit sweep (REFERENCE_V2's 60 spp x depth 50 would need

@@ -18,6 +18,15 @@ MEASURED (2026-08-19, v5e; config-4 = 800x400 20spp depth12 parallel):
     REFERENCE_V2 backward 1787.8 ms (19.8 Mrays/s).
   Net round-3: config-4 fwd+bwd 12.6 -> 22.2 Mrays/s (1.77x), and the
   BASELINE 100-spp gradient workload sits at 24.6.
+  step 4 — residual-window sweep (RAYTPU_P2_VMEM 6/10/12 MB ->
+    285.9/282.2/280.0 ms): parking costs ~2%; default raised to 10 MB.
+    refv2 backward at the 10 MB window: 1674 ms (21.1 Mrays/s).
+  Depth-50 hardware ACCURACY spot-check (64x32, spp 4, depth 50,
+  kernel vs golden autodiff on the same chip): albedo 4.9e-5, radius
+  2.8e-4, cam origin 2.8e-5; center max-rel 4.2e-3 concentrated on the
+  metal hero sphere (2 of 12 components > 1e-3, rest <= 6.8e-4) — the
+  50-bounce chaotic-path / branch-flip class (TODO.md), not a
+  systematic reverse-sweep error.
 """
 from __future__ import annotations
 
