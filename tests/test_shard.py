@@ -231,3 +231,59 @@ def test_sharded_wavefront_matches_golden_across_mesh_sizes():
         imgs.append(got)
     # mesh sizes must agree with each other exactly (same shard program)
     np.testing.assert_array_equal(imgs[1], imgs[2])
+
+
+def test_sharded_refill_vjp_matches_unsharded(monkeypatch):
+    """Refill PASS 2 under shard_map (round 3): traced row0 + block
+    tiling + per-tile pixel seeds must give the same psum'd gradients
+    as the unsharded fused VJP."""
+    from raytpu import bvh as bvh_mod
+    from raytpu.kernels import megakernel, gradkernel
+    monkeypatch.setattr(megakernel, "_REFILL_MIN", 0)
+    cfg = RenderConfig(width=64, height=32, spp=2, depth=3,
+                       rng_mode="parallel")
+    scene = raytpu.random_world(seed=3, half_extent=3)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
+                             vfov=20.0, aspect=cfg.aspect)
+    bvh = bvh_mod.build_bvh(scene)
+    img = raytpu.render(scene, cam, cfg, backend="pallas", bvh=bvh)
+    ct = 2.0 * (np.asarray(img) - 0.25) / img.size
+    _, ds_ref, dc_ref = gradkernel.render_pallas_vjp(
+        scene, cam, cfg, jnp.asarray(ct), bvh=bvh, img=img,
+        p2_refill=True)
+
+    from jax.sharding import PartitionSpec as P
+    mesh = shard.make_mesh(jax.devices()[:4])
+    th = megakernel._TILE_H
+    slab = -(-cfg.height // (th * 4)) * th
+    ct_pad = np.zeros((slab * 4, cfg.width, 3), np.float32)
+    ct_pad[:cfg.height] = ct
+    img_pad = np.zeros((slab * 4, cfg.width, 3), np.float32)
+    img_pad[:cfg.height] = np.asarray(img)
+
+    def shard_fn(scene, cam, ct_slab, img_slab):
+        row0 = jax.lax.axis_index(shard.AXIS) * slab
+        _, ds, dc = gradkernel.render_pallas_vjp(
+            scene, cam, cfg, ct_slab, bvh=bvh, row0=row0, rows=slab,
+            img=img_slab, p2_refill=True)
+        ds = jax.lax.psum(ds._replace(mat_type=jnp.zeros(())),
+                          shard.AXIS)
+        dc = jax.lax.psum(dc, shard.AXIS)
+        return ds, dc
+
+    ds, dc = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(shard.AXIS), P(shard.AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))(scene, cam, jnp.asarray(ct_pad), jnp.asarray(img_pad))
+    for name in ("center", "radius", "albedo", "mat_param"):
+        a = np.asarray(getattr(ds, name))
+        b = np.asarray(getattr(ds_ref, name))
+        scale = max(np.abs(b).max(), 1e-8)
+        assert np.abs(a - b).max() / scale < 3e-5, name
+    for name in ("origin", "horizontal", "vertical", "lower_left"):
+        a = np.asarray(getattr(dc, name))
+        b = np.asarray(getattr(dc_ref, name))
+        scale = max(np.abs(b).max(), 1e-6)
+        assert np.abs(a - b).max() / scale < 3e-5, name
