@@ -90,7 +90,13 @@ _REFILL_MIN = int(os.environ.get("RAYTPU_REFILL_MIN", "48"))
 # scripts/probe_tail.py) is paid once per group instead of per tile.
 # The actual factor is the largest divisor of the frame's row-tile
 # count <= this cap.  RAYTPU_MULTI_TILE=1 disables.
-_MULTI_TILE = int(os.environ.get("RAYTPU_MULTI_TILE", "8"))
+# Round 3: grid steps are SEQUENTIAL on a TensorCore, so bigger groups
+# cost no parallelism — only the (cond-gated) flush unroll.  Measured
+# (cap 8 -> 25/50): config-4 fwd 147 -> 130.7 ms, fwd+bwd 288 -> 256
+# ms (25.0 Mrays/s), REFERENCE_V2 seq 700 -> 633, config-5 15.1 ->
+# 14.0 s (74 Mrays/s).  Returns flatten past ~25; 64 admits large
+# divisors on tall frames.
+_MULTI_TILE = int(os.environ.get("RAYTPU_MULTI_TILE", "64"))
 # RAYTPU_STRIDE=1 (+ block_w=128): strided pixel interleave — tail
 # -decorrelation experiment for the refill loop.  MEASURED NEGATIVE on
 # config 4 (15 vs 33 Mrays/s): scattering a tile's lanes across the
@@ -1189,13 +1195,21 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                 b_ref[:, :] = out_z
 
                 def flush(mask, m_pl, fr, fg, fb):
-                    for m in range(multi_tile):
-                        mm = mask & (m_pl == jnp.float32(m))
-                        sl = slice(m * _TILE_H, (m + 1) * _TILE_H)
-                        for ref, v in ((r_ref, fr), (g_ref, fg),
-                                       (b_ref, fb)):
-                            cur = ref[sl, :]
-                            ref[sl, :] = jnp.where(mm, cur + v, cur)
+                    # the whole unrolled RMW (3 * multi_tile predicated
+                    # read-modify-writes) runs only on iterations where
+                    # SOME lane finished a tile — tile_done is rare
+                    # (once per ~spp*mean-path steps per lane), and at
+                    # large group factors the unconditional flush was
+                    # measurable
+                    @pl.when(jnp.max(jnp.where(mask, 1.0, 0.0)) > 0)
+                    def _():
+                        for m in range(multi_tile):
+                            mm = mask & (m_pl == jnp.float32(m))
+                            sl = slice(m * _TILE_H, (m + 1) * _TILE_H)
+                            for ref, v in ((r_ref, fr), (g_ref, fg),
+                                           (b_ref, fb)):
+                                cur = ref[sl, :]
+                                ref[sl, :] = jnp.where(mm, cur + v, cur)
 
                 body = make_refill_step(
                     bounce, gen_ray, seed0, dyn_depth_f, dyn_spp_f,
