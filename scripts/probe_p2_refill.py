@@ -21,6 +21,10 @@ MEASURED (2026-08-19, v5e; config-4 = 800x400 20spp depth12 parallel):
   step 4 — residual-window sweep (RAYTPU_P2_VMEM 6/10/12 MB ->
     285.9/282.2/280.0 ms): parking costs ~2%; default raised to 10 MB.
     refv2 backward at the 10 MB window: 1674 ms (21.1 Mrays/s).
+  step 5 — multi-tile group cap 8 -> 64 (+ cond-gated flush; grid
+    steps are sequential on the TensorCore so bigger groups are free):
+    config-4 fwd+bwd 256.3 ms (25.0 Mrays/s at 20 spp — the verdict
+    target at its own protocol).
   Depth-50 hardware ACCURACY spot-check (64x32, spp 4, depth 50,
   kernel vs golden autodiff on the same chip): albedo 4.9e-5, radius
   2.8e-4, cam origin 2.8e-5; center max-rel 4.2e-3 concentrated on the
