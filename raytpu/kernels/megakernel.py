@@ -77,12 +77,14 @@ _TIDX = os.environ.get("RAYTPU_TIDX", "1") != "0"
 # the tie rule stays lowest-index).  K = 1 is the plain chain.
 _SWEEP_K = int(os.environ.get("RAYTPU_SWEEP_K", "1"))
 # persistent sample refill engages at this many spheres (the two
-# sample-loop forms are BIT-identical; refill's respawn logic costs
-# ~70 extra vops/iteration, which only pays once the hit sweep
-# dominates — config 2 (4 spheres): sequential 243 vs refill 216
-# Mrays/s; config 4 (500): refill 2x).  RAYTPU_REFILL_MIN=0 forces
-# refill everywhere.
-_REFILL_MIN = int(os.environ.get("RAYTPU_REFILL_MIN", "48"))
+# sample-loop forms are BIT-identical).  Round 2 set 48: refill's
+# respawn costs ~70 vops/iteration, which lost on cheap-sweep scenes
+# (config 2: sequential 243 vs refill 216 Mrays/s).  Round 3's
+# multi-tile grouping flipped it — refill+grouping wins even at 4
+# spheres (config 2 fwd 251 -> 265-267 Mrays/s, fwd+bwd 131 -> 151,
+# either RNG mode) — so refill is now the default everywhere.
+# RAYTPU_REFILL_MIN=1e9 restores the sequential sample loop.
+_REFILL_MIN = int(os.environ.get("RAYTPU_REFILL_MIN", "0"))
 # multi-tile persistent refill: each kernel instance owns up to this
 # many stacked row-tiles and refill continues ACROSS them, so the while
 # -loop's path-length tail (tile max-lane total work vs mean; measured

@@ -69,8 +69,12 @@ def test_pass1_elision_bit_matches():
     img_fwd = raytpu.render(scene, cam, cfg, backend="pallas")
     ct = 2.0 * (img_fwd - 0.25) / img_fwd.size
     img0, ds0, dc0 = gradkernel.render_pallas_vjp(scene, cam, cfg, ct)
+    # p2_refill=False isolates the elision mechanics this test pins:
+    # with the refill PASS 2 (the production default) accumulation
+    # order differs, which is covered by the p2_refill tests below
     img1, ds1, dc1 = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
-                                                  img=img_fwd)
+                                                  img=img_fwd,
+                                                  p2_refill=False)
     np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
     for k in ("center", "radius", "albedo", "mat_param"):
         np.testing.assert_array_equal(np.array(getattr(ds0, k)),
