@@ -55,7 +55,7 @@ def cmd_render(args) -> int:
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        depth=args.depth, rng_mode=args.rng_mode,
-                       scatter_mode=args.scatter_mode)
+                       scatter_mode=args.scatter_mode, gamma=args.gamma)
     scene = _build_scene(args.scene, args.seed, args.scene_file)
     cam = _build_camera(args, cfg.aspect)
 
@@ -196,6 +196,10 @@ def main(argv=None) -> int:
                    help="auto = pallas (refill megakernel) on TPU — or "
                         "wavefront when --spp-batch > 1 requires it — "
                         "golden elsewhere")
+    r.add_argument("--gamma", type=float, default=2.2,
+                   help="output gamma: 2.2 = v2's pow(1/2.2) "
+                        "(ShaderCompute.hlsl:99), 2.0 = v1's sqrt "
+                        "(Shader_RT.fx:448)")
     r.add_argument("--scatter-mode", choices=("v2", "v1"), default="v2",
                    help="material semantics generation (v1 = the pixel"
                         "-shader reference's hemisphere diffuse etc.)")

@@ -61,3 +61,14 @@ def test_info(capsys):
     assert cli.main(["info"]) == 0
     rec = json.loads(capsys.readouterr().out.strip())
     assert rec["devices"] >= 1
+
+
+def test_render_v1_fractsin_mode(tmp_path):
+    """The v1 fract-sin parity mode through the CLI (golden-routed)."""
+    out = str(tmp_path / "v1.png")
+    rc = cli.main(["render", "--scene", "test", "--width", "24",
+                   "--height", "12", "--spp", "1", "--depth", "3",
+                   "--rng-mode", "v1_fractsin", "--scatter-mode", "v1",
+                   "--gamma", "2.0", "--out", out])
+    assert rc == 0
+    assert os.path.exists(out)
