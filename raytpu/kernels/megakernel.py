@@ -10,10 +10,13 @@ kernel over (8, 128) pixel tiles:
 - all ray state lives in registers/VMEM for the full spp x depth loop: zero
   HBM traffic between bounces (the XLA fallback round-trips ray state
   through HBM on every scan step);
-- the bounce loop is a ``lax.while_loop`` that exits as soon as EVERY ray
-  in the tile is dead — sky/absorbed regions stop paying for residual
-  bounces (the reference and the golden path always run all ``depth``
-  iterations);
+- the bounce loop is a ``lax.while_loop`` running the PERSISTENT-REFILL
+  state machine (default at every scene size since round 3): a lane
+  whose sample terminates immediately respawns its pixel's next sample
+  in-register, and multi-tile grouping lets lanes hop across stacked
+  tiles so the loop's path-length tail is paid once per group (the
+  reference and the golden path always run all ``depth`` iterations
+  per sample);
 - the scene is broadcast to SMEM (the cbuffer analogue, hlsl:12-19) and the
   closest-hit loop tracks the winning sphere's attributes directly via
   predicated updates, so there is no gather;
@@ -1712,8 +1715,9 @@ def render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
     traversal (build with ``raytpu.bvh.build_bvh(scene)``).
 
     ``block_w`` sets the pixel-block shape a tile covers
-    (1024/block_w x block_w); ``None`` auto-selects 32 (square-ish
-    frustum) for BVH scenes and the plain 8 x 128 strip otherwise.
+    (1024/block_w x block_w); ``None`` auto-selects for BVH scenes via
+    :func:`_auto_block_w` (frustum shape x multi-tile-grouping
+    divisibility) and the plain 8 x 128 strip otherwise.
     Output images are bit-identical across block shapes.  ``vis_w > 0``
     adds silhouette (boundary) gradients to the backward pass (forward
     values are unchanged) — see gradkernel/adjoint.
