@@ -105,32 +105,27 @@ def bench_config2(extra):
 
     target = golden.render_golden(scene, _cam(0, cfg.aspect), cfg)
 
-    def fwdbwd_frame(s, c):
-        def loss_fn(s, c):
-            img = render(s, c, cfg, backend=backend)
-            return jnp.mean((img - target) ** 2)
-        g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
-        leaves = [g[0].center, g[0].radius, g[0].albedo, g[0].mat_param,
-                  g[1].origin, g[1].horizontal, g[1].vertical,
-                  g[1].lower_left]
-        return sum(jnp.sum(l) for l in leaves)
+    def fwdbwd_frame_for(cfg_x):
+        def frame(s, c):
+            def loss_fn(s, c):
+                img = render(s, c, cfg_x, backend=backend)
+                return jnp.mean((img - target) ** 2)
+            g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
+            leaves = [g[0].center, g[0].radius, g[0].albedo,
+                      g[0].mat_param, g[1].origin, g[1].horizontal,
+                      g[1].vertical, g[1].lower_left]
+            return sum(jnp.sum(l) for l in leaves)
+        return frame
 
-    fwdbwd = _batch_frames(fwdbwd_frame)
+    fwdbwd = _batch_frames(fwdbwd_frame_for(cfg))
     t_fb = _time_calls(fwdbwd, scene, cfg.aspect) / _FRAMES
 
     # production RNG mode: parallel streams let the fused VJP elide its
-    # PASS-1 forward (the custom_vjp hands it the rendered image)
+    # PASS-1 forward (the custom_vjp hands it the rendered image);
+    # identical loss/reduction so the two rows time the same workload
     if backend == "pallas":
-        cfg_p = cfg.replace(rng_mode="parallel")
-
-        def fwdbwd_p(s, c):
-            def loss_fn(s, c):
-                img = render(s, c, cfg_p, backend=backend)
-                return jnp.mean((img - target) ** 2)
-            g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
-            return jnp.sum(g[0].center) + jnp.sum(g[1].origin)
-
-        fb_p = _batch_frames(fwdbwd_p)
+        fb_p = _batch_frames(
+            fwdbwd_frame_for(cfg.replace(rng_mode="parallel")))
         t_fb_p = _time_calls(fb_p, scene, cfg.aspect) / _FRAMES
         extra["config2_fwdbwd_parallel_rays_per_sec"] = round(
             rays / t_fb_p)

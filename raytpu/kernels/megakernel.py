@@ -87,7 +87,7 @@ _SWEEP_K = int(os.environ.get("RAYTPU_SWEEP_K", "1"))
 # spheres (config 2 fwd 251 -> 265-267 Mrays/s, fwd+bwd 131 -> 151,
 # either RNG mode) — so refill is now the default everywhere.
 # RAYTPU_REFILL_MIN=1e9 restores the sequential sample loop.
-_REFILL_MIN = int(os.environ.get("RAYTPU_REFILL_MIN", "0"))
+_REFILL_MIN = int(float(os.environ.get("RAYTPU_REFILL_MIN", "0")))
 # multi-tile persistent refill: each kernel instance owns up to this
 # many stacked row-tiles and refill continues ACROSS them, so the while
 # -loop's path-length tail (tile max-lane total work vs mean; measured
@@ -1337,11 +1337,11 @@ def _auto_block_w(cfg: RenderConfig, n: int, h: int | None = None) -> int:
     are bit-identical across layouts (absolute-coordinate RNG seeds)."""
     hh = cfg.height if h is None else h
     # at equal grouping, 32 is the round-2 frustum optimum (and the
-    # sequential-RNG answer, where grouping never engages); with
+    # answer whenever no candidate can group, e.g. tiny frames); with
     # grouping engaged, 64 measured best (config-4: 44.1 vs 43.2/40.1
     # Mrays/s).  Group returns flatten past ~4 (config-5: 64/mt4 68.6
     # beats 128/mt8 64.2 Mrays/s), so the mt score caps at 4 and the
-    # frustum preference breaks ties.
+    # frustum preference breaks ties.  Both RNG modes group (round 3).
     pref = {32: 4, 64: 3, 128: 2, 16: 1}
     best = max((min(_mt_for(hh, bw, cfg, n), 4) * 10 + p, bw)
                for bw, p in pref.items())
@@ -1414,11 +1414,11 @@ def _render_pallas_fwd_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
     # multi-tile persistent refill (see _MULTI_TILE): group stacked row
     # -tiles into one kernel instance when the refill loop is the
     # engine (parallel RNG, row tiling).  mt=1 is the plain layout.
-    mt = 1
-    if (_MULTI_TILE > 1 and not strided
-            and (not _NO_EARLY_EXIT) and n >= _REFILL_MIN):
-        mt = max(d for d in range(1, _MULTI_TILE + 1)
-                 if grid[0] % d == 0)
+    # single source of truth for the gate + divisor pick: _mt_for (it
+    # also covers the strided exclusion) — gradkernel and _auto_block_w
+    # consult the same function, so predictions can't diverge from the
+    # forward's actual grouping
+    mt = _mt_for(h, block_w, cfg, n)
     grid = (grid[0] // mt, grid[1])
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
