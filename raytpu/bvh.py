@@ -318,6 +318,53 @@ def build_bvh(scene: Scene, leaf_size: int = 64, pad: float = 1e-4,
     return _finish(nodes_arr, perm_arr)
 
 
+def refit(bvh: BVH, scene: Scene, pad: float = 1e-4) -> BVH:
+    """Recompute the BVH's bounding boxes for the CURRENT geometry,
+    keeping the tree topology / perm / leaf order — jit-safe, so
+    optimization steps that MOVE spheres can refresh the boxes
+    in-graph instead of a host rebuild.
+
+    Without this, a train step that keeps the build-time BVH silently
+    loses any sphere that drifts outside its leaf box (traversal culls
+    the leaf and the sphere disappears from renders AND gradients).
+    Refit keeps traversal CORRECT for arbitrary geometry; only the
+    culling efficiency degrades as spheres stray from the build-time
+    layout (the standard refit-vs-rebuild trade).
+
+    Leaf boxes are recomputed exactly (NaN leaf-padding dummies are
+    skipped; the ``pad`` matches build_bvh's conservative slab
+    padding).  The flat leaf list (the production traversal) gets the
+    fresh boxes in every octant copy; the skip-pointer ``nodes``
+    array's leaf rows are refreshed too while its INTERIOR boxes are
+    voided to always-enter (correct but unculled) — prefer the flat
+    path after a refit.  Requires padded static leaves + a flat list.
+    """
+    assert bvh.leaf_size and bvh.flat is not None, \
+        "refit needs padded static leaves with a flat leaf list"
+    ls = int(bvh.leaf_size)
+    nl = bvh.n_leaves
+    pc = permute_scene(scene, bvh.perm)
+    c = pc.center[:nl * ls].reshape(nl, ls, 3)
+    r = pc.radius[:nl * ls].reshape(nl, ls, 1)
+    pad = jnp.float32(pad)
+    lo = jnp.nanmin(c - r, axis=1) - pad
+    hi = jnp.nanmax(c + r, axis=1) + pad
+    leaf_boxes = jnp.concatenate([lo, hi], axis=-1)        # (L, 6)
+
+    flat = jnp.asarray(bvh.flat, jnp.float32)
+    fid = (flat[:, 6] / ls).astype(jnp.int32)              # start -> leaf
+    new_flat = flat.at[:, 0:6].set(leaf_boxes[fid])
+
+    nodes = jnp.asarray(bvh.nodes, jnp.float32)
+    is_leaf = nodes[:, 7] > 0
+    nid = jnp.clip((nodes[:, 6] / ls).astype(jnp.int32), 0, nl - 1)
+    void = jnp.concatenate([jnp.full((3,), -3.0e38, jnp.float32),
+                            jnp.full((3,), 3.0e38, jnp.float32)])
+    nboxes = jnp.where(is_leaf[:, None], leaf_boxes[nid], void)
+    new_nodes = nodes.at[:, 0:6].set(nboxes)
+    return dataclasses.replace(bvh, nodes=new_nodes, flat=new_flat)
+
+
 def permute_scene(scene: Scene, perm) -> Scene:
     """Reorder scene arrays into BVH leaf order (leaves are contiguous).
 

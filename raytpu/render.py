@@ -119,6 +119,11 @@ def render_grad(scene: Scene, cam: Camera, cfg: RenderConfig, target,
     forward values stay the exact hard render (see raytpu/adjoint.py).
     ``bvh`` accelerates large scenes on the pallas path (forward AND
     the fused VJP kernel's sweeps); the golden/adjoint path ignores it.
+    NOTE for optimization loops that MOVE geometry: the BVH's boxes
+    must bound the CURRENT spheres — refresh them each step with
+    :func:`raytpu.bvh.refit` (jit-safe; `shard.make_train_step_pallas`
+    does it automatically), or a sphere that drifts outside its
+    build-time leaf box silently vanishes from renders and gradients.
     """
     backend = _backend(backend)
     if cfg.rng_mode == "v1_fractsin":

@@ -202,7 +202,8 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
                            lr: float = 1e-2, bvh=None,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None,
+                           refit: bool = True):
     """Pod-scale train step on the Pallas kernels: each device renders
     its row slab with the forward megakernel, back-propagates the MSE
     cotangent through the fused VJP kernel (raytpu/kernels/gradkernel),
@@ -210,8 +211,16 @@ def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
 
     step(scene, cam, target) -> (scene', cam', loss) like
     :func:`make_train_step`, at kernel speed per chip.
+
+    ``refit`` (default) recomputes the BVH's leaf boxes from the
+    CURRENT scene inside every step (:func:`raytpu.bvh.refit`): the
+    optimizer moves spheres, and a build-time box that no longer bounds
+    its sphere silently drops it from renders and gradients.  Pass
+    ``refit=False`` only for frozen-geometry losses (albedo/material
+    -only optimization).
     """
     from raytpu.kernels import megakernel, gradkernel
+    from raytpu import bvh as bvh_mod
 
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -221,12 +230,15 @@ def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
     h_pad = slab * n_shards
     w = cfg.width
     inv_m = 1.0 / (cfg.height * w * 3)
-    nodes = None if bvh is None else bvh.nodes
-    perm = None if bvh is None else bvh.perm
-    leaf = None if bvh is None else bvh.leaf_size
-    flat = None if bvh is None else bvh.flat
+    do_refit = bool(refit and bvh is not None and bvh.flat is not None
+                    and bvh.leaf_size)
 
     def shard_fn(scene, cam, target_slab):
+        bvh_s = bvh_mod.refit(bvh, scene) if do_refit else bvh
+        nodes = None if bvh_s is None else bvh_s.nodes
+        perm = None if bvh_s is None else bvh_s.perm
+        leaf = None if bvh_s is None else bvh_s.leaf_size
+        flat = None if bvh_s is None else bvh_s.flat
         row0 = jax.lax.axis_index(AXIS) * slab
         img = megakernel._render_pallas_fwd_impl(
             scene, cam, cfg, interpret, nodes, perm,
@@ -237,7 +249,7 @@ def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
         loss = jax.lax.psum(jnp.sum(diff * diff) * inv_m, AXIS)
         ct = 2.0 * diff * inv_m
         _, ds, dc = gradkernel.render_pallas_vjp(
-            scene, cam, cfg, ct, interpret=interpret, bvh=bvh,
+            scene, cam, cfg, ct, interpret=interpret, bvh=bvh_s,
             row0=row0, rows=slab, img=img)
         ds = jax.lax.psum(ds._replace(mat_type=jnp.zeros(())), AXIS)
         dc = jax.lax.psum(dc, AXIS)
