@@ -47,24 +47,31 @@ def make_problem(shift=(0.12, 0.0, 0.08), size=(96, 48)):
 
 
 def optimize(cfg, scene, cam, target, steps=120, lr=0.05, vis_w=0.005,
-             checkpoint=None):
+             checkpoint=None, bvh=None):
     """Normalized gradient descent on sphere centers; silhouette
     gradients (vis_w) supply the visibility term that pure interior
     gradients lack.  On TPU the loss+gradient is ONE fused VJP kernel
-    dispatch (render_grad -> gradkernel); on CPU the XLA adjoint."""
+    dispatch (render_grad -> gradkernel); on CPU the XLA adjoint.
+
+    ``bvh``: large-scene acceleration — the boxes are REFIT to the
+    moving geometry every step (raytpu.bvh.refit; jit-shared with the
+    step, so the whole loop stays one compiled graph)."""
     from raytpu.render import render_grad
+    from raytpu import bvh as bvh_mod
 
     @jax.jit
-    def step(scene, lr):
+    def step(scene, lr, bvh_s):
         s_loss, _, (sg, _) = render_grad(scene, cam, cfg, target,
-                                         vis_w=vis_w)
+                                         vis_w=vis_w, bvh=bvh_s)
         g = sg.center
         gn = g / (jnp.linalg.norm(g) + 1e-12)
         return scene._replace(center=scene.center - lr * gn), s_loss
 
+    refit = jax.jit(bvh_mod.refit) if bvh is not None else None
     losses = []
     for i in range(steps):
-        scene, loss = step(scene, lr)
+        bvh_s = refit(bvh, scene) if bvh is not None else None
+        scene, loss = step(scene, lr, bvh_s)
         losses.append(float(loss))
         lr *= 0.96
         if checkpoint and (i + 1) % 20 == 0:
@@ -80,21 +87,39 @@ def main(argv=None):
     p.add_argument("--size", default="96x48",
                    help="WxH; use 400x200 for the kernel-speed TPU run")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--final-scene", action="store_true",
+                   help="recover positions in the 500-sphere final "
+                        "scene (BVH-accelerated, refit every step)")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.size.split("x"))
 
-    cfg, scene_true, scene0, cam, target = make_problem(size=(w, h))
+    if args.final_scene:
+        import jax.numpy as _jnp
+        from raytpu.config import RenderConfig
+        cfg = RenderConfig(width=w, height=h, spp=4, depth=4,
+                           rng_mode="parallel")
+        scene_true = raytpu.final_world()
+        cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
+                                 vfov=20.0, aspect=cfg.aspect)
+        from raytpu.bvh import build_bvh
+        bvh = build_bvh(scene_true)
+        target = raytpu.render(scene_true, cam, cfg, bvh=bvh)
+        scene0 = scene_true._replace(
+            center=scene_true.center + _jnp.float32(0.05))
+    else:
+        cfg, scene_true, scene0, cam, target = make_problem(size=(w, h))
+        bvh = None
     io.save_png(os.path.join(args.out_dir, "target.png"), target)
     io.save_png(os.path.join(args.out_dir, "initial.png"),
-                raytpu.render(scene0, cam, cfg))
+                raytpu.render(scene0, cam, cfg, bvh=bvh))
 
     err0 = float(jnp.linalg.norm(scene0.center[1] - scene_true.center[1]))
     scene, losses = optimize(cfg, scene0, cam, target, steps=args.steps,
-                             checkpoint=args.checkpoint)
+                             checkpoint=args.checkpoint, bvh=bvh)
     err1 = float(jnp.linalg.norm(scene.center[1] - scene_true.center[1]))
 
     io.save_png(os.path.join(args.out_dir, "recovered.png"),
-                raytpu.render(scene, cam, cfg))
+                raytpu.render(scene, cam, cfg, bvh=bvh))
     print(f"loss {losses[0]:.3e} -> {losses[-1]:.3e}   "
           f"position error {err0:.4f} -> {err1:.4f}")
     return 0 if (losses[-1] < 0.3 * losses[0] and err1 < 0.5 * err0) else 1
