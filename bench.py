@@ -21,6 +21,12 @@ a DISTINCT camera input — this forces real device execution (no server
 -side result reuse) and synchronizes on a 4-byte transfer instead of the
 full image.
 
+Run-to-run variance: the shared remote-TPU tunnel drifts by ~±10-25%
+between whole-process runs (and occasionally drops a compile —
+sections are try/except-isolated so one hiccup can't lose the rest).
+BASELINE.md records warm-tunnel medians with the change that produced
+each number; treat a single low run as noise unless reproduced.
+
 The reference publishes no numbers (BASELINE.md), so vs_baseline compares
 against OUR round-1 recorded number (golden backend on one v5e chip).
 """
