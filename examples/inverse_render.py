@@ -47,7 +47,7 @@ def make_problem(shift=(0.12, 0.0, 0.08), size=(96, 48)):
 
 
 def optimize(cfg, scene, cam, target, steps=120, lr=0.05, vis_w=0.005,
-             checkpoint=None, bvh=None):
+             checkpoint=None, bvh=None, rebuild_every=0):
     """Normalized gradient descent on sphere centers; silhouette
     gradients (vis_w) supply the visibility term that pure interior
     gradients lack.  On TPU the loss+gradient is ONE fused VJP kernel
@@ -70,6 +70,11 @@ def optimize(cfg, scene, cam, target, steps=120, lr=0.05, vis_w=0.005,
     refit = jax.jit(bvh_mod.refit) if bvh is not None else None
     losses = []
     for i in range(steps):
+        if bvh is not None and rebuild_every and i and i % rebuild_every == 0:
+            # periodic host REBUILD restores culling quality once the
+            # geometry has drifted far from the original layout (refit
+            # keeps correctness in between; see raytpu/bvh.py)
+            bvh = bvh_mod.build_bvh(scene, leaf_size=bvh.leaf_size or 64)
         bvh_s = refit(bvh, scene) if bvh is not None else None
         scene, loss = step(scene, lr, bvh_s)
         losses.append(float(loss))
