@@ -31,6 +31,7 @@ from raytpu.scene import (
     config1_world,
     config2_world,
     final_world,
+    v1_world,
 )
 from raytpu.render import render, render_grad
 from raytpu.bvh import BVH, build_bvh
@@ -50,6 +51,7 @@ __all__ = [
     "config1_world",
     "config2_world",
     "final_world",
+    "v1_world",
     "render",
     "render_grad",
     "BVH",

@@ -75,6 +75,30 @@ def test_world() -> Scene:
     ])
 
 
+def v1_world() -> Scene:
+    """The v1 pixel-shader generation's hardcoded seven-sphere scene
+    (ref: Shader_RT.fx:300-335 ``random_world()`` — despite its name it
+    is fully deterministic; the loops+randoms version is commented out
+    with a TODO at Shader_RT.fx:310).
+
+    Contents, in the reference's build order: ground lambert r=1000,
+    three r=0.2 lamberts (blue / green / rust), then the three hero
+    spheres — glass (IOR 1.5), brown lambert, and polished metal
+    (fuzz 0).  ``AddDielectric`` sets albedo=(1,1,1,1)
+    (Shader_RT.fx:96-104); kept here for fidelity though dielectric
+    attenuation ignores albedo in both generations.
+    """
+    return make_scene([
+        ((0.0, -1000.0, 0.0), 1000.0, DIFFUSE, (0.5, 0.5, 0.5), 0.0),
+        ((3.0, 0.2, 1.5), 0.2, DIFFUSE, (0.2, 0.2, 0.8), 0.0),
+        ((4.5, 0.2, 1.0), 0.2, DIFFUSE, (0.2, 0.8, 0.2), 0.0),
+        ((4.5, 0.2, 2.0), 0.2, DIFFUSE, (0.8, 0.3, 0.2), 0.0),
+        ((0.0, 1.0, 0.0), 1.0, DIELECTRIC, (1.0, 1.0, 1.0), 1.5),
+        ((-4.0, 1.0, 0.0), 1.0, DIFFUSE, (0.4, 0.2, 0.1), 0.0),
+        ((4.0, 1.0, 0.0), 1.0, METAL, (0.7, 0.6, 0.5), 0.0),
+    ])
+
+
 def config1_world() -> Scene:
     """BASELINE config 1: one Lambertian sphere + ground sphere."""
     return make_scene([

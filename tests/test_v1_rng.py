@@ -131,6 +131,51 @@ def test_by_value_defect_is_reproduced():
     np.testing.assert_array_equal(a, b)
 
 
+def test_v1_world_contents():
+    """v1_world transcribes Shader_RT.fx:300-335 sphere-for-sphere."""
+    s = raytpu.v1_world()
+    assert s.count == 7
+    np.testing.assert_array_equal(
+        np.asarray(s.mat_type), [0, 0, 0, 0, 2, 0, 1])
+    np.testing.assert_allclose(
+        np.asarray(s.center)[[0, 4, 5, 6]],
+        [[0, -1000, 0], [0, 1, 0], [-4, 1, 0], [4, 1, 0]])
+    np.testing.assert_allclose(np.asarray(s.radius),
+                               [1000, 0.2, 0.2, 0.2, 1, 1, 1])
+    np.testing.assert_allclose(np.asarray(s.albedo)[1], [0.2, 0.2, 0.8])
+    assert float(s.mat_param[4]) == 1.5 and float(s.mat_param[6]) == 0.0
+
+
+def test_v1_world_fractsin_parity_vs_oracle():
+    """The faithful v1 configuration on the v1 app's OWN scene vs the
+    scalar PS_Main transcription (the round-3 parity tests ran on
+    test_world; this closes inventory row #21 end-to-end).  The r=1000
+    ground introduces the known f32 |oc|^2-r^2 cancellation divergence,
+    so the pass bar matches test_golden's ground-scene calibration
+    (1e-2, most pixels) on top of the fract-sin drift budget."""
+    cfg = _cfg(width=32, height=24, spp=1, depth=6)
+    scene = raytpu.v1_world()
+    cam = raytpu.reference_camera_v1()
+    cam_d = {k: np.asarray(getattr(cam, k)) for k in
+             ("origin", "horizontal", "vertical", "lower_left", "u", "v")}
+    cam_d["lens_radius"] = float(cam.lens_radius)
+    scene_d = dict(center=np.asarray(scene.center),
+                   radius=np.asarray(scene.radius),
+                   mat_type=np.asarray(scene.mat_type),
+                   albedo=np.asarray(scene.albedo),
+                   mat_param=np.asarray(scene.mat_param))
+    img = np.asarray(raytpu.render(scene, cam, cfg, backend="golden"))
+    pts = [(px, py) for py in range(0, cfg.height, 2)
+           for px in range(0, cfg.width, 3)]
+    ok = 0
+    for (px, py) in pts:
+        ref = hlsl_ref.render_pixel_v1_fractsin(
+            scene_d, cam_d, px, py, cfg.width, cfg.height, cfg.spp,
+            cfg.depth, rand2d=_rand2d_jax)
+        ok += np.allclose(img[py, px], ref, atol=1e-2)
+    assert ok >= 0.6 * len(pts), (ok, len(pts))
+
+
 def test_reference_v1_faithful_preset():
     assert REFERENCE_V1_FAITHFUL.rng_mode == "v1_fractsin"
     assert REFERENCE_V1_FAITHFUL.scatter_mode == "v1"
