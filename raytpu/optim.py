@@ -49,13 +49,47 @@ def load_opt_checkpoint(path: str, params_template, optimizer):
     with np.load(path) as z:
         n_p = int(z["n_params"])
         step = int(z["step"])
-        p_leaves = [jnp.asarray(z[f"p{i}"]) for i in range(n_p)]
+        t_leaves = jax.tree.leaves(params_template)
+        if n_p != len(t_leaves):
+            raise ValueError(
+                f"checkpoint {path!r} holds {n_p} param leaves but the "
+                f"template has {len(t_leaves)} — wrong template pytree")
+        p_leaves = []
+        for i, t in enumerate(t_leaves):
+            leaf = z[f"p{i}"]
+            t = np.asarray(t)
+            if leaf.shape != t.shape or leaf.dtype != t.dtype:
+                raise ValueError(
+                    f"checkpoint {path!r} param leaf {i}: saved "
+                    f"{leaf.dtype}{leaf.shape} vs template "
+                    f"{t.dtype}{t.shape} — positional unflatten would "
+                    f"mis-assign; pass the template this run was saved "
+                    f"with")
+            p_leaves.append(jnp.asarray(leaf))
         treedef = jax.tree.structure(params_template)
         params = jax.tree.unflatten(treedef, p_leaves)
         s_template = optimizer.init(params)
         s_treedef = jax.tree.structure(s_template)
-        n_s = len(jax.tree.leaves(s_template))
-        s_leaves = [jnp.asarray(z[f"s{i}"]) for i in range(n_s)]
+        st_leaves = jax.tree.leaves(s_template)
+        n_s = len(st_leaves)
+        import re
+        n_saved = sum(1 for k in z.files if re.fullmatch(r"s\d+", k))
+        if n_saved != n_s:
+            raise ValueError(
+                f"checkpoint {path!r} holds {n_saved} optimizer-state "
+                f"leaves but this optimizer expects {n_s} — wrong "
+                f"optimizer")
+        s_leaves = []
+        for i, t in enumerate(st_leaves):
+            leaf = z[f"s{i}"]
+            t = np.asarray(t)
+            if leaf.shape != t.shape or leaf.dtype != t.dtype:
+                raise ValueError(
+                    f"checkpoint {path!r} opt-state leaf {i}: saved "
+                    f"{leaf.dtype}{leaf.shape} vs expected "
+                    f"{t.dtype}{t.shape} — optimizer mismatch (moments "
+                    f"would be silently mis-assigned)")
+            s_leaves.append(jnp.asarray(leaf))
         opt_state = jax.tree.unflatten(s_treedef, s_leaves)
     return params, opt_state, step
 
