@@ -13,8 +13,14 @@ numthreads).  The TPU-native scaling story (SURVEY.md §2.5) is:
   reference's cbuffer broadcast, ref: DxCSApp.cpp:393-413).
 - **gradients psum'd** over the mesh: each chip back-propagates its own
   pixels' loss into replicated scene/camera params, then one
-  ``jax.lax.psum`` rides ICI (intra-slice) / DCN (multi-host).  XLA
-  overlaps the reduction with the tail of the backward sweep.
+  ``jax.lax.psum`` rides ICI (intra-slice) / DCN (multi-host).
+  Reduction/backward overlap is a NON-lever here, measured rather than
+  assumed (scripts/probe_overlap.py): the Pallas path's grads come out
+  of one fused VJP kernel, so the reduce's data dependency is the whole
+  kernel — and the payload is a few KB of scene/camera grads, modeled
+  at ~10 us over v5e ICI against >= 100 ms steps (< 0.02% of step
+  time).  On TPU, XLA's latency-hiding scheduler already emits async
+  all-reduce-start/done for whatever slack exists.
 
 Multi-host entry: call :func:`init_distributed` (a
 ``jax.distributed.initialize`` wrapper) before ``make_mesh()``; the mesh
@@ -317,8 +323,9 @@ def make_train_step(cfg: RenderConfig, mesh: Mesh, lr: float = 1e-2):
         # loss is a varying per-shard partial -> explicit psum.  grads are
         # NOT psum'd here: under shard_map's varying-axis tracking the
         # transpose of "consume a replicated input" already inserts the
-        # cross-shard psum (this is the ICI/DCN gradient all-reduce, and
-        # XLA overlaps it with the backward sweep).
+        # cross-shard psum (the ICI/DCN gradient all-reduce — ~64 KB of
+        # scene/camera grads, < 0.01% of step wall; see
+        # scripts/probe_overlap.py for the compiled-HLO analysis).
         loss = jax.lax.psum(loss, AXIS)
         return loss, grads
 
