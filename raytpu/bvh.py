@@ -199,9 +199,19 @@ def build_bvh(scene: Scene, leaf_size: int = 64, pad: float = 1e-4,
 
     ``builder="median"`` (default) splits at the centroid median of the
     longest axis; ``builder="sah"`` uses the native binned surface-area
-    -heuristic builder (16 bins/axis — isolates outliers like a giant
-    ground sphere into their own cheap subtree; requires the native
-    library, falling back to median otherwise).
+    -heuristic builder (16 bins/axis; requires the native library,
+    falling back to median otherwise).
+
+    **Median is the measured default** (round 4, scripts/probe_sah.py
+    on one v5e chip, config-4 scene, megakernel + wavefront, leaf 32 and
+    64, outlier split on/off): SAH lost every cell — best SAH 45.6 vs
+    median 50.0 Mrays/s (megakernel leaf 64).  Under TILE-coherent
+    traversal the frame cost scales with *leaves entered per tile
+    step*, and SAH's better-balanced tree makes MORE leaves for the
+    same cap (11-12 vs 8), while its headline win (isolating the giant
+    ground sphere) is already taken by ``split_outliers``.  Per-ray
+    test-count arguments do not transfer to (8,128)-lane union
+    traversal.
 
     Uses the native C++ builder (native/rt_native.cpp via ctypes) when
     available — same algorithm, bit-identical output, ~100x faster for
