@@ -8,11 +8,14 @@ Camera, call :func:`render`.  Backends:
 - ``"pallas"``    — fused Pallas TPU megakernel (raytpu/kernels/) with
   persistent sample refill: the fastest engine on every measured config,
   small or large (pass a BVH for large scenes).
-- ``"wavefront"`` — sorted-wavefront Pallas renderer (raytpu/wavefront.py):
-  rays re-sorted for coherence/compaction at sparse bounce boundaries;
-  also the ``spp_batch > 1`` engine.
-- ``"auto"``      — pallas on TPU (wavefront when ``spp_batch > 1``
-  requires it); golden elsewhere.
+- ``"wavefront"`` — EXPERIMENTAL sorted-wavefront renderer
+  (raytpu/wavefront.py).  Settled in round 4
+  (scripts/probe_wavefront_settle.py): it loses every measured config
+  by 3-5x (config-4 @ 100 spp: 18.6 vs megakernel 61.4 Mrays/s;
+  config-5: 16.8 vs 69.0), and its spp_batch-folding hypothesis is
+  REFUTED — larger folds are slower.  Kept for research (explicit
+  ``backend="wavefront"`` only); never auto-selected.
+- ``"auto"``      — pallas on TPU; golden elsewhere.
 
 ``render_grad`` returns (image, pulled-back gradients) of a scalar loss over
 the image w.r.t. (scene, camera) — the differentiable-rendering surface
@@ -41,13 +44,11 @@ def _backend(name: str, bvh=None, spp_batch: int = 1,
     if platform == "tpu":
         try:
             from raytpu.kernels import megakernel  # noqa: F401
-            # the persistent-refill megakernel beats the sorted
-            # wavefront on every measured config (round-2 sweeps:
-            # config 4 33 vs 30, REFERENCE_V2 33 vs 29 Mrays/s), with
-            # or without a BVH; spp folding and persistent-refill
-            # scheduling are wavefront-only features
-            return ("wavefront" if spp_batch > 1 or refill
-                    else "pallas")
+            # the refill megakernel beats the sorted wavefront on every
+            # measured config, at every fold size (round 4, demotion
+            # measurements: scripts/probe_wavefront_settle.py) — auto
+            # never selects the wavefront; ask for it by name
+            return "pallas"
         except ImportError:
             return "golden"
     return "golden"
@@ -76,7 +77,9 @@ def render(scene: Scene, cam: Camera, cfg: RenderConfig,
         backend = "golden"
     if (spp_batch > 1 or refill) and backend != "wavefront":
         raise ValueError(
-            "spp_batch > 1 / refill need the wavefront backend")
+            "spp_batch > 1 / refill are wavefront-only knobs; pass "
+            "backend='wavefront' explicitly (the experimental engine "
+            "is never auto-selected — see raytpu/wavefront.py)")
     if backend == "golden":
         return golden.render_golden(scene, cam, cfg)
     if backend == "pallas":

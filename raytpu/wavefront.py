@@ -1,5 +1,24 @@
 """Sorted-wavefront renderer — ray reordering between bounce segments.
 
+STATUS: EXPERIMENTAL / DEMOTED (round 4).  Settled against the refill
+megakernel on hardware (scripts/probe_wavefront_settle.py +
+probe_wf_settle2.py, one v5e chip, warm tunnel):
+
+    config-4 @ 100 spp   megakernel 61.4 Mrays/s
+                         wavefront  18.6 (spp_batch 1) / 15.6 (4)
+                         / 15.9 (10) / 15.1 (20) / 10.1 (50)
+    config-5 @ 20 spp    megakernel 69.0; wavefront 16.8 (1) / 14.7 (4)
+
+The spp_batch-folding hypothesis below (bigger folds -> bigger sort
+groups -> per-ray-like culling) is REFUTED: every fold size measured
+SLOWER than spp_batch=1 — the sort's own cost grows with R faster than
+the coherence it buys, and the refill megakernel's group-amortized
+tail already captures most of the occupancy win at zero sort cost.
+The engine stays for research (``render(backend="wavefront")``
+explicitly; never auto-selected) and its tests keep running — the
+sort/compaction machinery is the scaffold any future reordering
+experiment would start from.
+
 The megakernel (raytpu/kernels/megakernel.py) keeps each pixel-tile's
 rays together for the whole spp x depth loop.  That is optimal for small
 scenes, but for large scenes its tile-coherent BVH walk degrades: after
