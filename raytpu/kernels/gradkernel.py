@@ -191,7 +191,16 @@ _NCAM_SUMS = 18
 (_WR_OX, _WR_OY, _WR_OZ, _WR_DX, _WR_DY, _WR_DZ,
  _WR_CR, _WR_CG, _WR_CB, _WR_IDX, _WR_FLG, _WR_SEED, _WR_SPL,
  _WR_MPL) = range(14)
-_NWREFILL = 14
+# RAYTPU_P2_ATTRS=1 (round-4 residual-layout probe, TODO.md "remaining
+# backward lever"): ALSO store the 9 winner-attribute planes per global
+# step (planes 14..22) so the reverse sweep reads them back instead of
+# re-gathering via the one-hot MXU matmul — trades residual-window size
+# (14 -> 23 planes -> ~0.6x steps per window) for the reverse's
+# per-step one-hot build + 8 matmuls.
+_P2_ATTRS = bool(int(__import__("os").environ.get("RAYTPU_P2_ATTRS",
+                                                  "0")))
+_WR_ATTR0 = 14
+_NWREFILL = 23 if _P2_ATTRS else 14
 # flag bits in the _WR_FLG plane (i32 bitcast)
 _F_SCAT, _F_MISS, _F_FRESH, _F_FIN = 1, 2, 4, 8
 # residual-step VMEM budget for the refill PASS 2 (per-window step cap;
@@ -977,6 +986,13 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 res_ref[g, _WR_SEED] = pltpu.bitcast(sd, jnp.float32)
                 res_ref[g, _WR_SPL] = s_cur
                 res_ref[g, _WR_MPL] = m_pl
+                if _P2_ATTRS:
+                    # masked like the reverse's gather-by-stored-idx
+                    # (idx = -1 for non-scat lanes -> all-zero attrs),
+                    # so the reverse reads bit-identical values
+                    for _k in range(9):
+                        res_ref[g, _WR_ATTR0 + _k] = jnp.where(
+                            scat, attrs[_k], 0.0)
                 n_ro, n_rd, n_thr, _out = _bounce_f(
                     (ox, oy, oz), (dx, dy, dz), (cr, cg, cb), attrs,
                     (scat, missed), sd, t_min, cfg.scatter_mode)
@@ -1057,10 +1073,15 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     dacc_r_g = sel_m(m_g, dacc_r)
                     dacc_g_g = sel_m(m_g, dacc_g)
                     dacc_b_g = sel_m(m_g, dacc_b)
-                    # winner attrs re-gathered by the exact one-hot
+                    # winner attrs: re-gathered by the exact one-hot
                     # matmul (idx = -1 misses extract all-zero columns;
-                    # every use downstream is guarded/masked)
-                    attrs = gather_attrs(idx_f)
+                    # every use downstream is guarded/masked), or read
+                    # back from the stored planes (RAYTPU_P2_ATTRS)
+                    if _P2_ATTRS:
+                        attrs = tuple(res_ref[g, _WR_ATTR0 + _k]
+                                      for _k in range(9))
+                    else:
+                        attrs = gather_attrs(idx_f)
                     skr, skg, skb = _sky(dx, dy, dz)
                     # terminal step: the sample's total radiance — seen
                     # FIRST in reverse order, so it is live for every

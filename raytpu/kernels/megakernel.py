@@ -67,6 +67,12 @@ _FLAT_MAX_LEAVES = (0 if os.environ.get("RAYTPU_NO_FLAT")
 # leaf_size sphere tests of straight-line code; compile time grows with
 # the product, so the cap is conservative)
 _FLAT_UNROLL_MAX = int(os.environ.get("RAYTPU_FLAT_UNROLL_MAX", "0"))
+# with the unrolled sweep: drop the per-leaf any-hit cond entirely and
+# test every leaf unconditionally (bit-identical results — the sphere
+# tests predicate their own winner updates; the cond only skips work).
+# Round-4 machinery probe: the per-leaf cond + cross-lane reduce is
+# part of the ~40% in-frame overhead vs the straight-line sweep rate.
+_SWEEP_NOCOND = bool(os.environ.get("RAYTPU_SWEEP_NOCOND"))
 # flat traversal winner tracking (default on; RAYTPU_TIDX=0 reverts):
 # the leaf sweep carries (t, idx)-only predicated updates — 2 selects
 # per sphere instead of 10, a 5x shorter serial select chain — with a
@@ -226,7 +232,7 @@ def _seed_outlier_tests(body, state, outliers):
 
 def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
                    rays, inv_d, a, inv_a, alive, outliers=None,
-                   count: bool = False):
+                   count: bool = False, unroll_n: int | None = None):
     """Flat leaf-list closest-hit sweep -> (t_best, winner-index f32,
     -1 = miss): iterate the octant-ordered leaf rows front-to-back
     (``nd_ref`` = transposed ``bvh.flat``), entering a leaf's
@@ -319,6 +325,11 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
             return ((*pairs, ti[2 * kp] + 1.0) if count
                     else tuple(pairs))
 
+        if _SWEEP_NOCOND:
+            # probe mode: unconditional leaf entry — bit-identical
+            # results (winner updates self-predicate; the bbox/anyhit
+            # machinery above becomes dead code and is DCE'd)
+            return do_leaf(ti)
         return jax.lax.cond(anyhit, do_leaf, lambda t: t, ti)
 
     ti0 = _seed_outlier_tests(sphere_body_ti,
@@ -327,7 +338,14 @@ def _flat_sweep_ti(sc_ref, nd_ref, dyn_nodes, nbase, static_leaf, t_min,
         ti0 = (*ti0, zero + _INF, zero - 1.0)
     if count:
         ti0 = (*ti0, jnp.float32(0.0))
-    out = jax.lax.fori_loop(0, dyn_nodes, leaf_iter_ti, ti0)
+    if unroll_n:
+        # static leaf loop: no loop control and no scalar trip-count
+        # dependency; identical visit order -> bit-identical winners
+        out = ti0
+        for _k in range(unroll_n):
+            out = leaf_iter_ti(jnp.int32(_k), out)
+    else:
+        out = jax.lax.fori_loop(0, dyn_nodes, leaf_iter_ti, ti0)
     tb, idxf = out[0], out[1]
     for p in range(1, kp):
         tb2, id2 = out[2 * p], out[2 * p + 1]
@@ -540,7 +558,7 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                         sc_ref, nd_ref, dyn_nodes, nbase, static_leaf,
                         t_min, (ox, oy, oz, dx, dy, dz),
                         (inv_dx, inv_dy, inv_dz), a, inv_a, alive,
-                        outliers=outliers)
+                        outliers=outliers, unroll_n=flat_unroll_n)
                 else:
                     # roofline census: entered leaves + bounce steps
                     # (scripts/probe_roofline.py)
