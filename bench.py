@@ -188,9 +188,12 @@ def bench_config4(extra):
     # number)
     cfg100 = RenderConfig(width=800, height=400, spp=100, depth=12,
                           rng_mode="parallel")
+    # 2 frames/dispatch: the ~30 ms tunnel floor (extra row
+    # dispatch_overhead_ms) is 6% of a single 0.5 s frame — halve it
+    # like the other sustained rows do (protocol note in the docstring)
     f100 = _batch_frames(lambda s, c: jnp.sum(
-        render(s, c, cfg100, backend="pallas", bvh=bvh64)), n_frames=1)
-    t100 = _time_calls(f100, scene, cfg.aspect, iters=3)
+        render(s, c, cfg100, backend="pallas", bvh=bvh64)), n_frames=2)
+    t100 = _time_calls(f100, scene, cfg.aspect, iters=3) / 2
     extra["config4_100spp_fwd_rays_per_sec"] = round(
         cfg100.width * cfg100.height * cfg100.spp / t100)
     extra["config4_100spp_fwd_ms"] = round(t100 * 1e3, 1)
@@ -529,11 +532,33 @@ def bench_grad_sweep(extra):
         abs(an - ad) / max(abs(ad), 1e-5), 6)
 
 
+def _dispatch_overhead_ms():
+    """Per-dispatch tunnel floor: median wall of a trivial jitted scalar
+    op with distinct inputs.  Round-4 trace forensics: a config-4 frame
+    measured 100.6 ms on DEVICE vs 136.3 ms wall — every single-frame
+    wall number in this file includes this ~28-35 ms floor (and the
+    round-3 'speed-of-light' microbenches were measuring ONLY it)."""
+    f = jax.jit(lambda x: jnp.sum(x * 2.0))
+    x = jnp.ones((8, 128), jnp.float32)
+    float(f(x))
+    ts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(f(x + i))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[2] * 1e3
+
+
 def main():
     extra = {"platform": jax.devices()[0].platform,
              "frames_per_dispatch": _FRAMES}
     fwd_rays_s = bench_config2(extra)
     on_tpu = extra["platform"] == "tpu"
+    if on_tpu:
+        try:
+            extra["dispatch_overhead_ms"] = round(_dispatch_overhead_ms(), 1)
+        except Exception:  # noqa: BLE001
+            pass
     if on_tpu:
         # sections are independent: a failure in one (tunnel hiccup,
         # OOM) must not lose the rest of the round-end snapshot

@@ -191,14 +191,17 @@ _NCAM_SUMS = 18
 (_WR_OX, _WR_OY, _WR_OZ, _WR_DX, _WR_DY, _WR_DZ,
  _WR_CR, _WR_CG, _WR_CB, _WR_IDX, _WR_FLG, _WR_SEED, _WR_SPL,
  _WR_MPL) = range(14)
-# RAYTPU_P2_ATTRS=1 (round-4 residual-layout probe, TODO.md "remaining
-# backward lever"): ALSO store the 9 winner-attribute planes per global
-# step (planes 14..22) so the reverse sweep reads them back instead of
-# re-gathering via the one-hot MXU matmul — trades residual-window size
-# (14 -> 23 planes -> ~0.6x steps per window) for the reverse's
-# per-step one-hot build + 8 matmuls.
+# Store the 9 winner-attribute planes per global step (planes 14..22)
+# so the reverse sweep reads them back instead of re-gathering via the
+# one-hot MXU matmul — trades residual-window size (14 -> 23 planes ->
+# ~0.6x steps per window; the parking tail was measured ~2%-flat vs
+# window size) for the reverse's per-step one-hot build + 8 matmuls.
+# DEFAULT ON since round 4 (probe_p2_attrs.py, one v5e chip): config-4
+# fwd+bwd 1143.1 -> 1115.6 ms @ 100 spp (+2.5%), 253.6 -> 251.6 @ 20
+# spp; bit-identical gradients both ways (the stored values are exactly
+# the gather's outputs).  RAYTPU_P2_ATTRS=0 reverts.
 _P2_ATTRS = bool(int(__import__("os").environ.get("RAYTPU_P2_ATTRS",
-                                                  "0")))
+                                                  "1")))
 _WR_ATTR0 = 14
 _NWREFILL = 23 if _P2_ATTRS else 14
 # flag bits in the _WR_FLG plane (i32 bitcast)
