@@ -155,3 +155,21 @@ def test_nonaligned_size_and_depth1():
     ref = np.asarray(golden.render_golden(scene, cam, cfg))
     img = np.asarray(render_wavefront(scene, cam, cfg))
     assert_ulp_equal(img, ref)
+
+
+def test_demotion_auto_never_selects_wavefront():
+    """Round-4 settlement: the wavefront is experimental — auto must
+    not pick it, and its knobs without the explicit backend raise."""
+    from raytpu.render import _backend, render
+    assert _backend("auto", spp_batch=4, refill=2) != "wavefront"
+    cfg = RenderConfig(width=16, height=8, spp=2, depth=2,
+                       rng_mode="parallel")
+    scene = raytpu.test_world()
+    cam = _cam(cfg.aspect)
+    with pytest.raises(ValueError, match="wavefront"):
+        render(scene, cam, cfg, backend="auto", spp_batch=2)
+    with pytest.raises(ValueError, match="wavefront"):
+        render(scene, cam, cfg, backend="pallas", refill=1)
+    # explicit request still works
+    img = render(scene, cam, cfg, backend="wavefront", spp_batch=2)
+    assert img.shape == (cfg.height, cfg.width, 3)
