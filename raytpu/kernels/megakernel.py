@@ -67,6 +67,15 @@ _FLAT_MAX_LEAVES = (0 if os.environ.get("RAYTPU_NO_FLAT")
 # leaf_size sphere tests of straight-line code; compile time grows with
 # the product, so the cap is conservative)
 _FLAT_UNROLL_MAX = int(os.environ.get("RAYTPU_FLAT_UNROLL_MAX", "0"))
+# fixed traversal octant (round-4 probe): derive the octant-ordered BVH
+# copy ONCE per kernel instance from the tile-center PRIMARY direction
+# (scalar camera math in the prologue) instead of the per-step live
+# -lane majority — removing 4 cross-lane reduces per bounce step (the
+# leaf-512 wash priced reduce+cond at ~200 cycles each).  Any octant is
+# CORRECT (it only orders the front-to-back culling); primary-ray steps
+# keep their exact octant, bounced steps lose adaptivity they barely
+# used (census: bounced tiles enter 5/8 leaves regardless).
+_FIXED_OCTANT = bool(os.environ.get("RAYTPU_FIXED_OCTANT"))
 # with the unrolled sweep: drop the per-leaf any-hit cond entirely and
 # test every leaf unconditionally (bit-identical results — the sphere
 # tests predicate their own winner updates; the cond only skips work).
@@ -363,7 +372,7 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
                      flat_leaves: bool = False,
                      flat_unroll_n: int | None = None,
                      dense=None, flat_at=None, outliers=None,
-                     count_ref=None):
+                     count_ref=None, fixed_nbase=None):
     """ONE bounce of the path-trace state machine over an (8, 128) tile.
 
     Returns ``body(state) -> state`` with state
@@ -522,7 +531,12 @@ def make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes, t_min,
             inv_dy = 1.0 / dy
             inv_dz = 1.0 / dz
 
-            if static_leaf:
+            if static_leaf and fixed_nbase is not None:
+                # fixed per-instance octant (see _FIXED_OCTANT): the
+                # prologue's scalar primary-direction octant — no
+                # per-step cross-lane reduces
+                nbase = fixed_nbase
+            elif static_leaf:
                 # padded BVHs carry 8 octant-ordered node copies: pick
                 # the copy matching the tile's majority live-lane
                 # direction octant, so traversal runs front-to-back and
@@ -1138,10 +1152,31 @@ def _make_kernel(cfg: RenderConfig, n_spheres: int, n_nodes: int = 0,
                   and n_nodes <= _FLAT_UNROLL_MAX else None)
         dense = ((mx_ref, at_ref, dense_pad) if dense_pad else None)
         flat_at = ((fat_ref, flat_at_pad) if flat_at_pad else None)
+        fixed_nbase = None
+        if _FIXED_OCTANT and n_nodes and static_leaf and not strided:
+            # instance-center PRIMARY direction from camera scalars
+            # only (see _FIXED_OCTANT) — zero cross-lane reduces
+            span_h = ((_TILE_H if block_w == _TILE_W else block_h)
+                      * multi_tile)
+            span_w = _TILE_W if block_w == _TILE_W else block_w
+            cy = (row0 + ti * span_h + span_h // 2).astype(jnp.float32)
+            cx = (tj * span_w + span_w // 2).astype(jnp.float32)
+            u_c = cx * inv_w
+            v_c = cy * inv_h
+            dxc = (cam_ref[9] + u_c * cam_ref[3] + v_c * cam_ref[6]
+                   - cam_ref[0])
+            dyc = (cam_ref[10] + u_c * cam_ref[4] + v_c * cam_ref[7]
+                   - cam_ref[1])
+            dzc = (cam_ref[11] + u_c * cam_ref[5] + v_c * cam_ref[8]
+                   - cam_ref[2])
+            octc = (jnp.where(dxc < 0, 4, 0) + jnp.where(dyc < 0, 2, 0)
+                    + jnp.where(dzc < 0, 1, 0))
+            fixed_nbase = octc.astype(jnp.int32) * dyn_nodes
         bounce = make_bounce_body(sc_ref, nd_ref, dyn_nsph, dyn_nodes,
                                   t_min, cfg.scatter_mode, static_leaf,
                                   flat_leaves, unroll, dense, flat_at,
-                                  outliers=outliers, count_ref=cnt_acc)
+                                  outliers=outliers, count_ref=cnt_acc,
+                                  fixed_nbase=fixed_nbase)
         gen_ray = make_gen_ray(cam_ref, fx, fy, inv_w, inv_h)
 
         zero = jnp.zeros(shape, jnp.float32)
