@@ -52,7 +52,7 @@ from raytpu.kernels.megakernel import (
     _TILE_H, _TILE_W, _INF, _dot3, _normalize3, _reflect, _refract,
     _schlick, _sky, _pack_camera, _pack_scene, _pack_flat_at,
     _onehot_attrs, _split_bf16x3, _flat_sweep_ti, _FLAT_MAX_LEAVES,
-    _TIDX,
+    _TIDX, _FIXED_OCTANT,
 )
 
 
@@ -319,6 +319,25 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
         dyn_spp = cam_ref[20].astype(jnp.int32)
         dyn_nsph = cam_ref[21].astype(jnp.int32)
         dyn_nodes = cam_ref[22].astype(jnp.int32)
+        fixed_nbase = None
+        if _FIXED_OCTANT and n_nodes and static_leaf:
+            # fixed per-instance traversal octant from the instance
+            # -center PRIMARY direction — scalar prologue math, zero
+            # per-step cross-lane reduces (megakernel._FIXED_OCTANT;
+            # same machinery cost in the VJP's PASS 1/2 sweeps)
+            span_h = ((_TILE_H if block_w == _TILE_W else block_h)
+                      * multi_tile)
+            span_w = _TILE_W if block_w == _TILE_W else block_w
+            cyc = (row0 + ti * span_h + span_h // 2).astype(jnp.float32)
+            cxc = (tj * span_w + span_w // 2).astype(jnp.float32)
+            u_c = cxc * inv_w
+            v_c = cyc * inv_h
+            dxc = c_lx + u_c * c_hx + v_c * c_vx - c_ox
+            dyc = c_ly + u_c * c_hy + v_c * c_vy - c_oy
+            dzc = c_lz + u_c * c_hz + v_c * c_vz - c_oz
+            octc = (jnp.where(dxc < 0, 4, 0) + jnp.where(dyc < 0, 2, 0)
+                    + jnp.where(dzc < 0, 1, 0))
+            fixed_nbase = octc.astype(jnp.int32) * dyn_nodes
 
         # accumulate in SCRATCH (persists across sequential grid
         # steps); the output blocks are written once, at the last tile.
@@ -425,7 +444,9 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             inv_dy = 1.0 / dy
             inv_dz = 1.0 / dz
 
-            if static_leaf:
+            if static_leaf and fixed_nbase is not None:
+                nbase = fixed_nbase
+            elif static_leaf:
                 # octant-ordered node copies — front-to-back walk (see
                 # megakernel.make_bounce_body / bvh._octant_orders)
                 live = jnp.where(alive, 1.0, 0.0)

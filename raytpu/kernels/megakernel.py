@@ -67,20 +67,24 @@ _FLAT_MAX_LEAVES = (0 if os.environ.get("RAYTPU_NO_FLAT")
 # leaf_size sphere tests of straight-line code; compile time grows with
 # the product, so the cap is conservative)
 _FLAT_UNROLL_MAX = int(os.environ.get("RAYTPU_FLAT_UNROLL_MAX", "0"))
-# fixed traversal octant (round-4 probe): derive the octant-ordered BVH
-# copy ONCE per kernel instance from the tile-center PRIMARY direction
-# (scalar camera math in the prologue) instead of the per-step live
-# -lane majority — removing 4 cross-lane reduces per bounce step (the
-# leaf-512 wash priced reduce+cond at ~200 cycles each).  Any octant is
-# CORRECT (it only orders the front-to-back culling); primary-ray steps
-# keep their exact octant, bounced steps lose adaptivity they barely
-# used (census: bounced tiles enter 5/8 leaves regardless).
-_FIXED_OCTANT = bool(os.environ.get("RAYTPU_FIXED_OCTANT"))
+# fixed traversal octant (round-4 probe, DEFAULT ON; RAYTPU_FIXED_OCTANT=0
+# reverts): derive the octant-ordered BVH copy ONCE per kernel instance
+# from the tile-center PRIMARY direction (scalar camera math in the
+# prologue) instead of the per-step live-lane majority — removing 4
+# cross-lane reduces per bounce step.  Any octant is CORRECT (it only
+# orders the front-to-back culling); primary-ray steps keep their exact
+# octant, bounced steps lose adaptivity they barely used.  Measured
+# (probe_fixed_octant.py, config-4 @ 100 spp): 524.8 -> 508.0 ms
+# (61.0 -> 63.0 Mrays/s) with culling UNCHANGED (5.10 -> 5.07
+# leaves/step) — the per-step majority pick was pure machinery cost.
+_FIXED_OCTANT = os.environ.get("RAYTPU_FIXED_OCTANT", "1") != "0"
 # with the unrolled sweep: drop the per-leaf any-hit cond entirely and
 # test every leaf unconditionally (bit-identical results — the sphere
 # tests predicate their own winner updates; the cond only skips work).
-# Round-4 machinery probe: the per-leaf cond + cross-lane reduce is
-# part of the ~40% in-frame overhead vs the straight-line sweep rate.
+# MEASURED DEAD END (round 4, probe_fixed_octant.py with
+# RAYTPU_SWEEP_NOCOND=1): 508.0 -> 535.6 ms config-4 @ 100 spp (-5%).
+# At the production 5.1/8 leaf entry rate the reduce+cond machinery
+# costs LESS than the 8/8-leaf sweeps it avoids; keep the cond.
 _SWEEP_NOCOND = bool(os.environ.get("RAYTPU_SWEEP_NOCOND"))
 # flat traversal winner tracking (default on; RAYTPU_TIDX=0 reverts):
 # the leaf sweep carries (t, idx)-only predicated updates — 2 selects
