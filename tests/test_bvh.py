@@ -476,3 +476,41 @@ def test_refit_train_step_reduces_loss(monkeypatch):
     # geometry updates (exactness is pinned by the tests above)
     assert np.isfinite(losses).all()
     assert losses[-1] <= losses[0] * 1.5, losses
+
+
+def test_octant_pick_invariance(monkeypatch):
+    """Fixed vs adaptive traversal octant: bit-identical images.
+
+    Any octant is CORRECT — the pick only orders the front-to-back
+    culling, so flipping megakernel._FIXED_OCTANT must never change a
+    pixel (regression guard for the round-4 default flip; the same
+    holds for the VJP's gradients via gradkernel._FIXED_OCTANT)."""
+    import jax
+    from raytpu import golden
+    from raytpu.kernels import megakernel, gradkernel
+    from raytpu.config import RenderConfig
+
+    cfg = RenderConfig(width=64, height=32, spp=2, depth=4,
+                       rng_mode="parallel")
+    scene = raytpu.random_world(seed=7, half_extent=4)
+    cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
+                             vfov=20.0, aspect=cfg.aspect)
+    b = bvh_mod.build_bvh(scene, leaf_size=8)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    imgs, grads = [], []
+    for fixed in (True, False):
+        monkeypatch.setattr(megakernel, "_FIXED_OCTANT", fixed)
+        monkeypatch.setattr(gradkernel, "_FIXED_OCTANT", fixed)
+        imgs.append(np.asarray(
+            megakernel.render_pallas(scene, cam, cfg, bvh=b)))
+
+        def loss_p(s):
+            img = megakernel.render_pallas(s, cam, cfg, bvh=b)
+            return jnp.mean((img - target) ** 2)
+
+        grads.append(jax.grad(loss_p, allow_int=True)(scene))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    for k in ("center", "radius", "albedo", "mat_param"):
+        np.testing.assert_array_equal(np.asarray(getattr(grads[0], k)),
+                                      np.asarray(getattr(grads[1], k)))
