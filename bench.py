@@ -202,9 +202,10 @@ def bench_config4(extra):
     # (round 4: tracing works over the tunnel; wall = device + the
     # ~30 ms dispatch floor).  Isolated: any failure just skips the row.
     try:
+        from raytpu.profiling import device_ms
         extra["config4_100spp_fwd_device_ms"] = round(
-            _device_ms_from_trace(
-                lambda i: float(f100(scene, _cam(100 + i, cfg.aspect)))
+            device_ms(
+                lambda: float(f100(scene, _cam(100, cfg.aspect)))
             ) / 2, 1)  # f100 runs 2 frames/dispatch
     except Exception:  # noqa: BLE001
         pass
@@ -541,34 +542,6 @@ def bench_grad_sweep(extra):
     an, ad = float(ds_e.albedo[1, 0]), float(ds_a.albedo[1, 0])
     extra["gradkernel_elided_albedo_rel_err"] = round(
         abs(an - ad) / max(abs(ad), 1e-5), 6)
-
-
-def _device_ms_from_trace(run_once):
-    """Device-side wall of one dispatch, from a jax.profiler trace:
-    the longest event on the /device:TPU pid (the fused kernel).
-    ``run_once(i)`` must execute ONE blocking dispatch."""
-    import glob
-    import gzip
-    import tempfile
-
-    d = tempfile.mkdtemp()
-    with jax.profiler.trace(d):
-        run_once(0)
-    best = 0.0
-    for path in glob.glob(d + "/plugins/profile/*/*.trace.json.gz"):
-        with gzip.open(path) as fh:
-            tr = json.load(fh)
-        ev = tr.get("traceEvents", [])
-        tpu_pids = {e["pid"] for e in ev
-                    if e.get("ph") == "M"
-                    and e.get("name") == "process_name"
-                    and "TPU" in str(e.get("args", {}).get("name", ""))}
-        for e in ev:
-            if e.get("ph") == "X" and e.get("pid") in tpu_pids:
-                best = max(best, e.get("dur", 0) / 1e3)
-    if best <= 0:
-        raise RuntimeError("no device events in trace")
-    return best
 
 
 def _dispatch_overhead_ms():

@@ -73,3 +73,41 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_ms(run_once, pid_match: str = "TPU") -> float:
+    """Device-side wall of one dispatch, from a ``jax.profiler`` trace.
+
+    ``run_once()`` must execute ONE blocking dispatch; the result is the
+    longest single event on a trace pid whose process name contains
+    ``pid_match`` — for a fused Pallas render that is the kernel's
+    device occupancy.  This is the honest per-frame chip time: wall
+    clocks over a remote-device link include a per-dispatch transport
+    floor (measured ~28-35 ms on the axon tunnel — round-4 forensics:
+    a config-4 frame walled 136.3 ms but ran 100.6 ms on device).
+    Device tracing works over the tunnel; pass ``pid_match="CPU"`` to
+    time host-platform runs (XLA CPU events land on the host pid).
+    """
+    import glob
+    import gzip
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    with trace(d):
+        run_once()
+    best = 0.0
+    for path in glob.glob(d + "/plugins/profile/*/*.trace.json.gz"):
+        with gzip.open(path) as fh:
+            tr = json.load(fh)
+        ev = tr.get("traceEvents", [])
+        pids = {e["pid"] for e in ev
+                if e.get("ph") == "M"
+                and e.get("name") == "process_name"
+                and pid_match in str(e.get("args", {}).get("name", ""))}
+        for e in ev:
+            if e.get("ph") == "X" and e.get("pid") in pids:
+                best = max(best, e.get("dur", 0) / 1e3)
+    if best <= 0:
+        raise RuntimeError(
+            f"no events on a pid matching {pid_match!r} in the trace")
+    return best

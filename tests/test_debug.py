@@ -47,3 +47,17 @@ def test_validate_backends_consistent():
     rep = debug.validate_backends(raytpu.test_world(), _cam(), CFG)
     assert rep["golden_finite"]
     assert rep["interpret_bit_identical"]
+
+
+def test_device_ms_times_a_dispatch():
+    """profiling.device_ms extracts a positive per-dispatch device time
+    from a jax.profiler trace (CPU: XLA events land on the host pid)."""
+    import jax
+    import jax.numpy as jnp
+    from raytpu import profiling
+
+    f = jax.jit(lambda x: jnp.sum(x @ x))
+    x = jnp.ones((256, 256), jnp.float32)
+    float(f(x))  # compile outside the trace
+    ms = profiling.device_ms(lambda: float(f(x)), pid_match="CPU")
+    assert 0 < ms < 10_000
