@@ -21,7 +21,7 @@ import json
 import sys
 
 
-SCENES = ("config1", "test", "random", "final")
+SCENES = ("config1", "test", "random", "final", "v1")
 
 
 def _build_scene(name: str, seed: int, scene_file=None):
@@ -37,6 +37,9 @@ def _build_scene(name: str, seed: int, scene_file=None):
         return raytpu.random_world(seed=seed)
     if name == "final":
         return raytpu.final_world(seed=seed)
+    if name == "v1":
+        # the v1 app's seven-sphere world (Shader_RT.fx:300-335)
+        return raytpu.v1_world()
     raise SystemExit(f"unknown scene {name!r} (choose from {SCENES})")
 
 
@@ -157,6 +160,37 @@ def cmd_gradcheck(args) -> int:
     return 0 if err < 1e-3 else 1
 
 
+def cmd_validate(args) -> int:
+    """Scene lint + cross-backend consistency sweep (raytpu.debug).
+
+    Exit 0 iff golden is finite, Pallas-interpret is BIT-identical to
+    golden, and (on TPU) the compiled kernel stays inside the f32
+    -scheduling tolerance.  Scene lint findings are reported as
+    warnings, not failures (e.g. random_world's energy-amplifying
+    metal albedo is reference-faithful by design)."""
+    import raytpu
+    from raytpu import debug
+    from raytpu.config import RenderConfig
+
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       spp=args.spp, depth=args.depth,
+                       scatter_mode=args.scatter_mode,
+                       rng_mode=args.rng_mode)
+    scene = _build_scene(args.scene, args.seed, args.scene_file)
+    cam = _build_camera(args, cfg.aspect)
+    bvh = None
+    if args.bvh:
+        from raytpu.bvh import build_bvh
+        bvh = build_bvh(scene)
+    rep = {"scene_warnings": debug.validate_scene(scene)}
+    rep.update(debug.validate_backends(scene, cam, cfg, bvh=bvh))
+    rep["pass"] = bool(rep["golden_finite"]
+                       and rep["interpret_bit_identical"]
+                       and rep.get("compiled_ok", True))
+    print(json.dumps(rep))
+    return 0 if rep["pass"] else 1
+
+
 def cmd_info(args) -> int:
     import jax
     import raytpu
@@ -237,6 +271,30 @@ def main(argv=None) -> int:
 
     g = sub.add_parser("gradcheck", help="gradient vs finite-diff check")
     g.set_defaults(fn=cmd_gradcheck)
+
+    v = sub.add_parser(
+        "validate",
+        help="scene lint + cross-backend consistency sweep")
+    v.add_argument("--scene", choices=SCENES, default="test")
+    v.add_argument("--scene-file", default=None, metavar="JSON")
+    v.add_argument("--seed", type=int, default=0)
+    v.add_argument("--width", type=int, default=96)
+    v.add_argument("--height", type=int, default=48)
+    v.add_argument("--spp", type=int, default=2)
+    v.add_argument("--depth", type=int, default=5)
+    v.add_argument("--scatter-mode", choices=("v2", "v1"), default="v2")
+    v.add_argument("--rng-mode", choices=("sequential", "parallel"),
+                   default="sequential")
+    v.add_argument("--bvh", action="store_true",
+                   help="sweep the BVH traversal path")
+    v.add_argument("--look-from", type=float, nargs=3,
+                   default=[13.0, 2.0, 3.0])
+    v.add_argument("--look-at", type=float, nargs=3,
+                   default=[0.0, 0.0, 0.0])
+    v.add_argument("--vfov", type=float, default=20.0)
+    v.add_argument("--aperture", type=float, default=0.0)
+    v.add_argument("--focus-dist", type=float, default=None)
+    v.set_defaults(fn=cmd_validate)
 
     i = sub.add_parser("info", help="platform info")
     i.set_defaults(fn=cmd_info)

@@ -72,3 +72,24 @@ def test_render_v1_fractsin_mode(tmp_path):
                    "--gamma", "2.0", "--out", out])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_validate_passes(capsys):
+    import json
+    from raytpu.cli import main
+    assert main(["validate", "--scene", "random", "--bvh",
+                 "--width", "64", "--height", "32", "--spp", "1",
+                 "--depth", "3"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["pass"] and rep["interpret_bit_identical"]
+    assert any("energy-amplifying" in w for w in rep["scene_warnings"])
+
+
+def test_render_v1_scene(tmp_path):
+    from raytpu.cli import main
+    out = tmp_path / "v1.png"
+    assert main(["render", "--scene", "v1", "--width", "32",
+                 "--height", "24", "--spp", "1", "--depth", "2",
+                 "--scatter-mode", "v1", "--gamma", "2.0",
+                 "--out", str(out)]) == 0
+    assert out.exists()
