@@ -98,3 +98,25 @@ def test_fuzz_vjp_matches_golden(case):
             np.asarray(getattr(gp, k)), np.asarray(getattr(gg, k)),
             rtol=2e-2, atol=5e-5,
             err_msg=f"{k}: cfg={cfg} n={scene.count}")
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_fuzz_sharded_bit_identical(case):
+    """Random configs through the row-slab shard_map: any mesh size must
+    reproduce golden BITWISE (absolute-coordinate RNG seeds + the row0
+    camera scalar make sharding invisible to pixel values)."""
+    from raytpu import shard
+
+    rng = np.random.RandomState(3000 + case)
+    cfg, scene, cam, bvh = _draw(rng)
+    cfg = cfg.replace(width=min(cfg.width, 96), height=min(cfg.height, 64),
+                      spp=min(cfg.spp, 2), depth=min(cfg.depth, 4))
+    want = np.asarray(golden.render_golden(scene, cam, cfg))
+    n = int(rng.choice([2, 4, 8]))
+    mesh = shard.make_mesh(jax.devices()[:n])
+    got = np.asarray(shard.render_sharded_pallas(
+        scene, cam, cfg, mesh=mesh, bvh=bvh))
+    np.testing.assert_array_equal(
+        got, want,
+        err_msg=f"cfg={cfg} n={scene.count} mesh={n} "
+                f"bvh={None if bvh is None else bvh.leaf_size}")
