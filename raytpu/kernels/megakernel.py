@@ -1696,17 +1696,24 @@ _render_pallas_bvh.defvjp(_fwd_bvh, _bwd_bvh)
 
 def accumulate_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
                       acc, seed, samples0: int, spp: int,
-                      bvh=None, interpret: bool | None = None):
+                      bvh=None, interpret: bool | None = None,
+                      row0=0, rows=None):
     """One progressive batch through the megakernel -> (acc', seed').
 
     ``acc`` (H, W, 3) linear sums and ``seed`` (H, W) u32 are the carried
     state (raytpu/progressive.py); adds ``spp`` samples.  Sequential RNG
     resumes each pixel's seed chain; parallel RNG derives sample streams
     from ``samples0`` offsets (seed is passed through unchanged).
+
+    ``rows``/``row0`` accumulate a row slab of the frame (the carried
+    arrays then hold ``rows`` rows starting at absolute row ``row0``,
+    which may be traced) — the progressive analogue of
+    ``_render_pallas_fwd_impl``'s slab mode, used by the sharded
+    progressive path (raytpu/progressive.py accumulate(mesh=...)).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    h, w = cfg.height, cfg.width
+    h, w = (cfg.height if rows is None else rows), cfg.width
     hp = -(-h // _TILE_H) * _TILE_H
     wp = -(-w // _TILE_W) * _TILE_W
     grid = (hp // _TILE_H, wp // _TILE_W)
@@ -1725,7 +1732,8 @@ def accumulate_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
 
     if bvh is None:
         kernel = _make_kernel(cfg, n, carry_state=True)
-        operands = [_pack_camera(cam, cfg, n, 0, spp=spp, s0=samples0),
+        operands = [_pack_camera(cam, cfg, n, 0, row0=row0, spp=spp,
+                                 s0=samples0),
                     _pack_scene(scene)]
         in_specs = [smem, smem]
     else:
@@ -1739,7 +1747,8 @@ def accumulate_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
                               flat_leaves=use_flat,
                               outliers=_bvh_outliers(
                                   bvh.perm, bvh.flat, bvh.leaf_size))
-        operands = [_pack_camera(cam, cfg, n, m, spp=spp, s0=samples0),
+        operands = [_pack_camera(cam, cfg, n, m, row0=row0, spp=spp,
+                                 s0=samples0),
                     _pack_scene(permute_scene(scene, bvh.perm)),
                     nd.T.astype(jnp.float32)]
         in_specs = [smem, smem, smem]

@@ -90,9 +90,44 @@ def _accumulate_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
                             samples=state.samples + spp)
 
 
+# sharded accumulators, one compiled fn per (cfg, spp, mesh, bvh) —
+# rebuilding the shard_map every batch would recompile every batch
+_SHARDED_CACHE: dict = {}
+
+
+def _sharded_accumulator(cfg: RenderConfig, spp: int, mesh, bvh,
+                         interpret: bool):
+    from jax.sharding import PartitionSpec as P
+    from raytpu import shard
+    from raytpu.kernels import megakernel as mk
+
+    key = (cfg, spp, mesh, None if bvh is None else id(bvh), interpret)
+    hit = _SHARDED_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    n_sh = mesh.devices.size
+    slab = -(-cfg.height // (mk._TILE_H * n_sh)) * mk._TILE_H
+
+    def shard_fn(scene, cam, acc, seed, s0):
+        row0 = jax.lax.axis_index(shard.AXIS) * slab
+        return mk.accumulate_pallas(scene, cam, cfg, acc, seed, s0, spp,
+                                    bvh=bvh, interpret=interpret,
+                                    row0=row0, rows=slab)
+
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(shard.AXIS), P(shard.AXIS), P()),
+        out_specs=(P(shard.AXIS), P(shard.AXIS)),
+        check_vma=False))
+    _SHARDED_CACHE[key] = (fn, slab, n_sh)
+    return fn, slab, n_sh
+
+
 def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
                state: ProgressiveState, spp: int,
-               backend: str = "golden", bvh=None) -> ProgressiveState:
+               backend: str = "golden", bvh=None,
+               mesh=None) -> ProgressiveState:
     """Add ``spp`` samples per pixel to the carried state.
 
     The global sample offset (for the parallel RNG mode) is taken from
@@ -100,15 +135,52 @@ def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
     globally-indexed sample streams.  ``backend="pallas"`` runs the
     batch through the megakernel's carry-state variant (optionally with
     a BVH) — same carried-state semantics at kernel speed.
+
+    ``mesh`` (pallas backend only) shards the batch over a device mesh,
+    one row slab per device — megakernel slab mode + absolute-coordinate
+    RNG make the carried state BIT-identical to the unsharded path, so
+    checkpoints migrate freely between mesh sizes (including 1).
     """
+    if mesh is not None:
+        if backend != "pallas":
+            raise ValueError("mesh sharding needs backend='pallas'")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from raytpu import shard
+
+        h = cfg.height
+        interpret = jax.devices()[0].platform != "tpu"
+        fn, slab, n_sh = _sharded_accumulator(cfg, spp, mesh, bvh,
+                                              interpret)
+        hp = slab * n_sh
+        acc_p = jnp.zeros((hp, cfg.width, 3), jnp.float32).at[:h].set(
+            state.acc)
+        seed_p = jnp.zeros((hp, cfg.width), jnp.uint32).at[:h].set(
+            state.seed)
+        # carried state may still be laid out for a PREVIOUS mesh (or a
+        # single device): commit the padded slabs to THIS mesh's row
+        # sharding so checkpoints migrate freely between mesh sizes
+        rows_sh = NamedSharding(mesh, P(shard.AXIS))
+        acc_p = jax.device_put(acc_p, rows_sh)
+        seed_p = jax.device_put(seed_p, rows_sh)
+        acc2, seed2 = fn(scene, cam, acc_p, seed_p,
+                         jnp.uint32(int(state.samples)))
+        return ProgressiveState(acc=acc2[:h], seed=seed2[:h],
+                                samples=state.samples + spp)
     if backend == "pallas":
         from raytpu.kernels import megakernel
+        acc_in, seed_in = state.acc, state.seed
+        # coming back from a mesh (migration): gather the slabs onto one
+        # device before the single-device jit
+        sh = getattr(acc_in, "sharding", None)
+        if sh is not None and len(sh.device_set) > 1:
+            acc_in = jax.device_put(acc_in, jax.devices()[0])
+            seed_in = jax.device_put(seed_in, jax.devices()[0])
         # samples0 is traced (it rides a camera scalar) so every batch
         # reuses one compilation
         acc, seed = jax.jit(
             megakernel.accumulate_pallas,
             static_argnums=(2, 6),
-        )(scene, cam, cfg, state.acc, state.seed,
+        )(scene, cam, cfg, acc_in, seed_in,
           jnp.uint32(int(state.samples)), spp, bvh)
         return ProgressiveState(acc=acc, seed=seed,
                                 samples=state.samples + spp)
@@ -168,14 +240,17 @@ def load_checkpoint(path: str) -> tuple[ProgressiveState, RenderConfig]:
 def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
                        batch: int = 8, checkpoint_path: str | None = None,
                        resume: bool = False, backend: str = "golden",
-                       bvh=None):
+                       bvh=None, mesh=None):
     """Render ``cfg.spp`` samples in ``batch``-sized increments.
 
     Yields (state, image) after each batch; optionally checkpoints after
     every batch and resumes from ``checkpoint_path``.  ``backend=
     "pallas"`` accumulates through the megakernel (optionally with a
     BVH) — carried state is bit-compatible with the golden path, so a
-    checkpoint can migrate between backends mid-render.
+    checkpoint can migrate between backends mid-render.  ``mesh`` shards
+    each batch over a device mesh (pallas backend; bit-compatible with
+    every other path, so a checkpoint also migrates between mesh sizes
+    and back to a single chip).
     """
     if resume and checkpoint_path:
         state, saved_cfg = load_checkpoint(checkpoint_path)
@@ -188,7 +263,7 @@ def render_progressive(scene: Scene, cam: Camera, cfg: RenderConfig,
     while int(state.samples) < cfg.spp:
         step = min(batch, cfg.spp - int(state.samples))
         state = accumulate(scene, cam, cfg, state, step,
-                           backend=backend, bvh=bvh)
+                           backend=backend, bvh=bvh, mesh=mesh)
         if checkpoint_path:
             save_checkpoint(checkpoint_path, state, cfg)
         yield state, image(state, cfg)
