@@ -86,13 +86,13 @@ def test_fuzz_vjp_matches_golden(case):
 
     gp = jax.grad(loss_p, allow_int=True)(scene)
     gg = jax.grad(loss_g, allow_int=True)(scene)
-    # Tolerance budget: the fused VJP and XLA's autodiff of golden are
-    # two f32 estimators with different accumulation orders; on
-    # cancellation-heavy components (center grads are differences of
-    # near-equal sums — see the round-3 cam-grad-vs-f64 diagnosis in
-    # BASELINE.md) they drift ~1e-5 abs at depth 3 already.  The fuzz
-    # guards against MISCOMPILES (wrong indexing is O(1) error), not
-    # against the shared f32 noise floor.
+    # Tolerance budget, ADJUDICATED vs f64 ground truth
+    # (scripts/probe_fuzz_grads_f64.py on case 0): both f32 estimators
+    # sit 1.8-1.9e-4 abs from the f64 center grads while disagreeing
+    # only 1.1e-5 with each other — the kernel is exactly as accurate
+    # as XLA's own autodiff, and this comparison measures their SHARED
+    # accumulation noise, not a kernel defect.  The fuzz guards against
+    # MISCOMPILES (wrong indexing is O(1) error), not the noise floor.
     for k in ("center", "radius", "albedo", "mat_param"):
         np.testing.assert_allclose(
             np.asarray(getattr(gp, k)), np.asarray(getattr(gg, k)),
