@@ -65,8 +65,10 @@ def cmd_render(args) -> int:
     bvh = None
     if args.bvh:
         from raytpu.render import _backend
-        if _backend(args.backend, bvh=True) not in ("pallas",
-                                                    "wavefront"):
+        # --devices > 1 always renders through the sharded pallas path
+        eff = ("pallas" if getattr(args, "devices", 1) > 1
+               else _backend(args.backend, bvh=True))
+        if eff not in ("pallas", "wavefront"):
             # consistent on both paths: the golden oracle is brute-force
             # by design, so a silently ignored --bvh would misreport what
             # was measured (ADVICE round 1)
@@ -75,13 +77,24 @@ def cmd_render(args) -> int:
         from raytpu.bvh import build_bvh
         bvh = build_bvh(scene, builder=args.bvh_builder)
 
+    mesh = None
+    if args.devices > 1:
+        import jax
+        from raytpu import shard
+        if len(jax.devices()) < args.devices:
+            raise SystemExit(f"--devices {args.devices}: only "
+                             f"{len(jax.devices())} devices available")
+        if args.backend not in ("auto", "pallas"):
+            raise SystemExit("--devices > 1 needs the pallas backend")
+        mesh = shard.make_mesh(jax.devices()[:args.devices])
+
     if args.progressive:
         import jax
         from raytpu import progressive
         backend = args.backend
         if backend == "auto":
             backend = ("pallas" if jax.devices()[0].platform == "tpu"
-                       else "golden")
+                       or mesh is not None else "golden")
         if backend == "wavefront" or args.refill:
             raise SystemExit(
                 "--progressive supports golden/pallas backends")
@@ -89,7 +102,7 @@ def cmd_render(args) -> int:
         for state, img in progressive.render_progressive(
                 scene, cam, cfg, batch=args.progressive,
                 checkpoint_path=args.checkpoint, resume=args.resume,
-                backend=backend, bvh=bvh):
+                backend=backend, bvh=bvh, mesh=mesh):
             print(f"samples {int(state.samples)}/{cfg.spp}",
                   file=sys.stderr)
             last = img
@@ -110,11 +123,18 @@ def cmd_render(args) -> int:
         print(f"wrote {args.out}")
         return 0
 
-    img, stats = profiling.timed(
-        lambda: raytpu.render(scene, cam, cfg, backend=args.backend,
-                              bvh=bvh, spp_batch=args.spp_batch,
-                              refill=args.refill),
-        cfg, label="render")
+    if mesh is not None:
+        from raytpu import shard
+        img, stats = profiling.timed(
+            lambda: shard.render_sharded_pallas(scene, cam, cfg,
+                                                mesh=mesh, bvh=bvh),
+            cfg, label="render")
+    else:
+        img, stats = profiling.timed(
+            lambda: raytpu.render(scene, cam, cfg, backend=args.backend,
+                                  bvh=bvh, spp_batch=args.spp_batch,
+                                  refill=args.refill),
+            cfg, label="render")
     io.save_image(args.out, img)
     print(f"wrote {args.out}  "
           f"({stats.rays_per_sec / 1e6:.2f} Mrays/s, "
@@ -265,6 +285,10 @@ def main(argv=None) -> int:
                    help="progressive checkpoint path (.npz)")
     r.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint")
+    r.add_argument("--devices", type=int, default=1, metavar="N",
+                   help="shard the render (or each --progressive batch) "
+                        "over the first N devices as row slabs — "
+                        "bit-identical output for any N")
     r.add_argument("--log", default=None, help="append run stats JSONL")
     r.add_argument("--out", default="out.png")
     r.set_defaults(fn=cmd_render)

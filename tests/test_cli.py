@@ -93,3 +93,33 @@ def test_render_v1_scene(tmp_path):
                  "--scatter-mode", "v1", "--gamma", "2.0",
                  "--out", str(out)]) == 0
     assert out.exists()
+
+
+def test_render_devices_sharded(tmp_path):
+    """--devices N: row-slab sharded render, bit-identical to --devices 1
+    (the checked-in PNG encoder is deterministic, so identical pixels
+    mean identical files)."""
+    from raytpu.cli import main
+
+    outs = []
+    for n in ("1", "4"):
+        out = tmp_path / f"d{n}.png"
+        args = ["render", "--scene", "random", "--bvh", "--width", "64",
+                "--height", "32", "--spp", "1", "--depth", "3",
+                "--devices", n, "--out", str(out)]
+        if n == "1":
+            args += ["--backend", "pallas"]
+        assert main(args) == 0
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
+
+
+def test_render_devices_progressive(tmp_path):
+    """--devices with --progressive: sharded batches complete the render."""
+    from raytpu.cli import main
+    out = tmp_path / "p.png"
+    assert main(["render", "--scene", "test", "--width", "48",
+                 "--height", "24", "--spp", "4", "--depth", "2",
+                 "--progressive", "2", "--devices", "2",
+                 "--out", str(out)]) == 0
+    assert out.exists()
