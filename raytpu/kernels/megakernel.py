@@ -1393,15 +1393,22 @@ def _auto_block_w(cfg: RenderConfig, n: int, h: int | None = None) -> int:
     factor (capped where returns flatten) then shape preference; images
     are bit-identical across layouts (absolute-coordinate RNG seeds)."""
     hh = cfg.height if h is None else h
-    # at equal grouping, 32 is the round-2 frustum optimum (and the
-    # answer whenever no candidate can group, e.g. tiny frames); with
-    # grouping engaged, 64 measured best (config-4: 44.1 vs 43.2/40.1
-    # Mrays/s).  Group returns flatten past ~4 (config-5: 64/mt4 68.6
-    # beats 128/mt8 64.2 Mrays/s), so the mt score caps at 4 and the
-    # frustum preference breaks ties.  Both RNG modes group (round 3).
-    pref = {32: 4, 64: 3, 128: 2, 16: 1}
-    best = max((min(_mt_for(hh, bw, cfg, n), 4) * 10 + p, bw)
-               for bw, p in pref.items())
+    # Without grouping, 32 is the round-2 frustum optimum (the answer
+    # whenever no candidate can group, e.g. tiny frames).  With
+    # grouping engaged, 64 measured best in round 3 (config-4: 44.1 vs
+    # 43.2/40.1 Mrays/s) AND in the round-4 re-sweep after the fixed
+    # -octant default (config-4 @ 100 spp, probe_blockw_r4.py:
+    # 64/mt25 495.0 ms = 64.6 Mrays/s vs 32/mt13 508.2 vs 128/mt50
+    # 522.5) — so once any candidate groups, the preference order
+    # flips to 64 first.  Group returns flatten past ~4 (config-5:
+    # 64/mt4 68.6 beats 128/mt8 64.2 Mrays/s), so the mt score caps
+    # at 4.  Both RNG modes group (round 3).
+    cands = {bw: min(_mt_for(hh, bw, cfg, n), 4)
+             for bw in (16, 32, 64, 128)}
+    pref = ({64: 4, 32: 3, 128: 2, 16: 1}
+            if max(cands.values()) > 1 else
+            {32: 4, 64: 3, 128: 2, 16: 1})
+    best = max((cands[bw] * 10 + p, bw) for bw, p in pref.items())
     return best[1]
 
 
