@@ -200,13 +200,19 @@ def bench_config4(extra):
 
     # device-side time of the 100-spp frame via a jax.profiler trace
     # (round 4: tracing works over the tunnel; wall = device + the
-    # ~30 ms dispatch floor).  Isolated: any failure just skips the row.
+    # ~30 ms dispatch floor).  The derived rays/s row is the TUNNEL
+    # -INDEPENDENT chip number: when the shared tunnel degrades (round
+    # 4 observed a pass with a 40 ms floor and wall rows 2-4x low),
+    # the device row stays put (469-482 ms across a clean and a
+    # degraded pass).  Isolated: any failure just skips the rows.
     try:
         from raytpu.profiling import device_ms
-        extra["config4_100spp_fwd_device_ms"] = round(
-            device_ms(
-                lambda: float(f100(scene, _cam(100, cfg.aspect)))
-            ) / 2, 1)  # f100 runs 2 frames/dispatch
+        dms = device_ms(
+            lambda: float(f100(scene, _cam(100, cfg.aspect)))
+        ) / 2  # f100 runs 2 frames/dispatch
+        extra["config4_100spp_fwd_device_ms"] = round(dms, 1)
+        extra["config4_100spp_fwd_device_rays_per_sec"] = round(
+            cfg100.width * cfg100.height * cfg100.spp / (dms / 1e3))
     except Exception:  # noqa: BLE001
         pass
 
@@ -569,6 +575,11 @@ def main():
     if on_tpu:
         try:
             extra["dispatch_overhead_ms"] = round(_dispatch_overhead_ms(), 1)
+            # the shared tunnel's healthy floor is ~26-32 ms; above
+            # that, every WALL row in this run is depressed by
+            # transport (device-side rows stay valid) — readers should
+            # prefer a clean-tunnel rerun for wall numbers
+            extra["tunnel_degraded"] = extra["dispatch_overhead_ms"] > 35
         except Exception:  # noqa: BLE001
             pass
     if on_tpu:
