@@ -27,6 +27,15 @@ sections are try/except-isolated so one hiccup can't lose the rest).
 BASELINE.md records warm-tunnel medians with the change that produced
 each number; treat a single low run as noise unless reproduced.
 
+Self-verifying record (round 5): every headline row carries a
+``*_device_ms`` / ``*_device_rays_per_sec`` twin read from a
+``jax.profiler`` trace of one dispatch — the tunnel-INDEPENDENT chip
+number — and every section re-probes the dispatch floor at its start
+(``<section>_floor_ms`` / ``<section>_degraded``), so a mid-run
+transport collapse (the round-4 artifact failure) is localized to the
+wall rows it actually depressed.  Walls that exceed 1.5x their device
+time are re-measured once (``*_wall_retried``).
+
 The reference publishes no numbers (BASELINE.md), so vs_baseline compares
 against OUR round-1 recorded number (golden backend on one v5e chip).
 """
@@ -70,6 +79,83 @@ def _time_calls(fn, scene, aspect, iters=5):
     return sorted(ts)[len(ts) // 2]
 
 
+# healthy tunnel floor is ~26-32 ms; above this, wall rows in the
+# section are transport-depressed (device rows stay valid)
+_FLOOR_DEGRADED_MS = 35.0
+
+
+def _floor_ms(iters=5):
+    """Per-dispatch tunnel floor: median wall of a trivial jitted scalar
+    op with distinct inputs.  Round-4 trace forensics: a config-4 frame
+    measured 100.6 ms on DEVICE vs 136.3 ms wall — every single-frame
+    wall number in this file includes this ~28-35 ms floor (and the
+    round-3 'speed-of-light' microbenches were measuring ONLY it)."""
+    f = jax.jit(lambda x: jnp.sum(x * 2.0))
+    x = jnp.ones((8, 128), jnp.float32)
+    float(f(x))
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        float(f(x + i))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2] * 1e3
+
+
+def _section_floor(extra, name):
+    """Re-probe the dispatch floor at SECTION START and flag degradation
+    per section.  Round 4's single startup probe read healthy (26.6 ms)
+    and then a mid-run tunnel collapse depressed every later wall row
+    3-5x with tunnel_degraded still false — the permanent BENCH_r04
+    artifact contradicted the repo's own claims.  Per-section floors
+    tell a reader exactly which walls to distrust."""
+    try:
+        fl = _floor_ms()
+        extra[f"{name}_floor_ms"] = round(fl, 1)
+        if fl > _FLOOR_DEGRADED_MS:
+            extra[f"{name}_degraded"] = True
+        return fl
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _row(extra, key, fn, scene, aspect, rays, frames=1, iters=2,
+         device=True):
+    """One headline metric: wall AND device-side twin.
+
+    Wall: median of scalar-synchronized jitted dispatches (distinct
+    camera inputs).  Device: ``profiling.device_ms`` traces ONE
+    dispatch and reads the top-level XLA program event — the tunnel
+    -independent chip number (valid for multi-kernel fwd+bwd dispatches
+    too: the jit_* event spans the whole program, verified in
+    scripts/probe_devms_r5.py).  If the dispatch wall exceeds 1.5x
+    (device + floor) the wall is re-measured once — the round-4 failure
+    mode was a transport collapse between sections — and the better
+    median kept, flagged ``_wall_retried``.
+
+    Writes {key}_ms / {key}_rays_per_sec (per-frame wall) and
+    {key}_device_ms / {key}_device_rays_per_sec.  Returns per-frame
+    wall seconds."""
+    t = _time_calls(fn, scene, aspect, iters=iters) / frames
+    dms = None
+    if device:
+        try:
+            from raytpu.profiling import device_ms
+            dms = device_ms(lambda: float(fn(scene, _cam(461, aspect))))
+            extra[f"{key}_device_ms"] = round(dms / frames, 2)
+            extra[f"{key}_device_rays_per_sec"] = round(
+                rays / (dms / frames / 1e3))
+        except Exception as e:  # noqa: BLE001
+            extra[f"{key}_device_error"] = (
+                f"{type(e).__name__}: {e}"[:120])
+    if dms is not None and t * frames * 1e3 > 1.5 * (dms + 35.0):
+        t2 = _time_calls(fn, scene, aspect, iters=iters) / frames
+        t = min(t, t2)
+        extra[f"{key}_wall_retried"] = True
+    extra[f"{key}_ms"] = round(t * 1e3, 2)
+    extra[f"{key}_rays_per_sec"] = round(rays / t)
+    return t
+
+
 def _batch_frames(frame_fn, n_frames=_FRAMES):
     """Wrap a per-frame scalar fn into one dispatch over n_frames frames
     derived from the CALLER'S camera (sustained chip throughput; a single
@@ -95,11 +181,13 @@ def bench_config2(extra):
     cfg = CONFIG2
     scene = raytpu.config2_world()
     backend = _backend("auto")
+    on_tpu = jax.devices()[0].platform == "tpu"
     rays = cfg.width * cfg.height * cfg.spp
 
     fwd = _batch_frames(
         lambda s, c: jnp.sum(render(s, c, cfg, backend=backend)))
-    t_fwd = _time_calls(fwd, scene, cfg.aspect) / _FRAMES
+    t_fwd = _row(extra, "config2_fwd", fwd, scene, cfg.aspect, rays,
+                 frames=_FRAMES, iters=5, device=on_tpu)
     fwd_rays_s = rays / t_fwd
 
     if backend != "golden":
@@ -124,7 +212,8 @@ def bench_config2(extra):
         return frame
 
     fwdbwd = _batch_frames(fwdbwd_frame_for(cfg))
-    t_fb = _time_calls(fwdbwd, scene, cfg.aspect) / _FRAMES
+    _row(extra, "config2_fwdbwd", fwdbwd, scene, cfg.aspect, rays,
+         frames=_FRAMES, iters=5, device=on_tpu)
 
     # production RNG mode: parallel streams let the fused VJP elide its
     # PASS-1 forward (the custom_vjp hands it the rendered image);
@@ -132,18 +221,13 @@ def bench_config2(extra):
     if backend == "pallas":
         fb_p = _batch_frames(
             fwdbwd_frame_for(cfg.replace(rng_mode="parallel")))
-        t_fb_p = _time_calls(fb_p, scene, cfg.aspect) / _FRAMES
-        extra["config2_fwdbwd_parallel_rays_per_sec"] = round(
-            rays / t_fb_p)
-        extra["config2_fwdbwd_parallel_ms"] = round(t_fb_p * 1e3, 2)
+        _row(extra, "config2_fwdbwd_parallel", fb_p, scene, cfg.aspect,
+             rays, frames=_FRAMES, iters=5, device=on_tpu)
 
     extra.update(
         backend=backend,
         config2="test_world 400x200 20spp depth12",
-        config2_fwd_ms=round(t_fwd * 1e3, 2),
         config2_golden_fwd_ms=round(t_fwd_g * 1e3, 2),
-        config2_fwdbwd_rays_per_sec=round(rays / t_fb),
-        config2_fwdbwd_ms=round(t_fb * 1e3, 2),
     )
     return fwd_rays_s
 
@@ -170,51 +254,32 @@ def bench_config4(extra):
     # (the refill-wavefront row was dropped in round 3: a measured dead
     # end at every cadence — scripts/probe_refill_wavefront_r2.py — not
     # worth its bench compile time)
-    for name, frame in (
-        ("megakernel", lambda s, c: jnp.sum(
-            render(s, c, cfg, backend="pallas", bvh=bvh64))),
-        ("wavefront", lambda s, c: jnp.sum(
-            render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2))),
-    ):
-        f = _batch_frames(frame, n_frames=2)
-        t = _time_calls(f, scene, cfg.aspect) / 2
-        extra[f"config4_fwd_{name}_rays_per_sec"] = round(rays / t)
-        extra[f"config4_fwd_{name}_ms"] = round(t * 1e3, 1)
+    f_mk = _batch_frames(lambda s, c: jnp.sum(
+        render(s, c, cfg, backend="pallas", bvh=bvh64)), n_frames=2)
+    _row(extra, "config4_fwd_megakernel", f_mk, scene, cfg.aspect, rays,
+         frames=2, iters=5)
+    # wavefront: demoted research engine — wall-only comparison row
+    f_wf = _batch_frames(lambda s, c: jnp.sum(
+        render_wavefront(s, c, cfg_best, bvh=bvh32, spp_batch=2)),
+        n_frames=2)
+    t_wf = _time_calls(f_wf, scene, cfg.aspect) / 2
+    extra["config4_fwd_wavefront_rays_per_sec"] = round(rays / t_wf)
+    extra["config4_fwd_wavefront_ms"] = round(t_wf * 1e3, 1)
 
     # BASELINE.json's config-4 text says 100 spp; the 20-spp rows above
     # keep round-over-round comparability, this row matches the baseline
     # workload exactly (rays/s normalizes spp, and the refill engine
     # amortizes better at high spp, so this is the headline large-scene
-    # number)
+    # number).  2 frames/dispatch amortize the ~30 ms tunnel floor; the
+    # device twin (round 4: identical 469-482 ms across a clean and a
+    # degraded tunnel pass) is the TUNNEL-INDEPENDENT chip number.
     cfg100 = RenderConfig(width=800, height=400, spp=100, depth=12,
                           rng_mode="parallel")
-    # 2 frames/dispatch: the ~30 ms tunnel floor (extra row
-    # dispatch_overhead_ms) is 6% of a single 0.5 s frame — halve it
-    # like the other sustained rows do (protocol note in the docstring)
+    rays100 = cfg100.width * cfg100.height * cfg100.spp
     f100 = _batch_frames(lambda s, c: jnp.sum(
         render(s, c, cfg100, backend="pallas", bvh=bvh64)), n_frames=2)
-    t100 = _time_calls(f100, scene, cfg.aspect, iters=3) / 2
-    extra["config4_100spp_fwd_rays_per_sec"] = round(
-        cfg100.width * cfg100.height * cfg100.spp / t100)
-    extra["config4_100spp_fwd_ms"] = round(t100 * 1e3, 1)
-
-    # device-side time of the 100-spp frame via a jax.profiler trace
-    # (round 4: tracing works over the tunnel; wall = device + the
-    # ~30 ms dispatch floor).  The derived rays/s row is the TUNNEL
-    # -INDEPENDENT chip number: when the shared tunnel degrades (round
-    # 4 observed a pass with a 40 ms floor and wall rows 2-4x low),
-    # the device row stays put (469-482 ms across a clean and a
-    # degraded pass).  Isolated: any failure just skips the rows.
-    try:
-        from raytpu.profiling import device_ms
-        dms = device_ms(
-            lambda: float(f100(scene, _cam(100, cfg.aspect)))
-        ) / 2  # f100 runs 2 frames/dispatch
-        extra["config4_100spp_fwd_device_ms"] = round(dms, 1)
-        extra["config4_100spp_fwd_device_rays_per_sec"] = round(
-            cfg100.width * cfg100.height * cfg100.spp / (dms / 1e3))
-    except Exception:  # noqa: BLE001
-        pass
+    _row(extra, "config4_100spp_fwd", f100, scene, cfg.aspect, rays100,
+         frames=2, iters=3)
 
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
 
@@ -225,7 +290,8 @@ def bench_config4(extra):
     # bwd/fwd ratio divides same-RNG-mode numbers.
     fwd_p = _batch_frames(lambda s, c: jnp.sum(
         render(s, c, cfg_best, backend="pallas", bvh=bvh64)), n_frames=2)
-    t_fwd_p = _time_calls(fwd_p, scene, cfg.aspect) / 2
+    t_fwd_p = _row(extra, "config4_fwd_parallel", fwd_p, scene,
+                   cfg.aspect, rays, frames=2, iters=5)
 
     def fwdbwd_frame(s, c):
         def loss_fn(s, c):
@@ -260,7 +326,12 @@ def bench_config4(extra):
     cnt = np.asarray(jax.device_get(cnt))[0]
     leaves, steps, live = float(cnt[0]), float(cnt[1]), float(cnt[2])
     tests = (leaves * bvh64.leaf_size + steps * n_out) * 1024
-    vops_per_cycle = tests / t_fwd_p * 24 / 1024 / 0.94e9
+    # divide by DEVICE time when the twin exists: the round-4 artifact's
+    # vops row (0.46 vs the round-3 1.51) was a wall number depressed by
+    # a mid-run tunnel collapse, not a kernel regression
+    t_for_vops = extra.get("config4_fwd_parallel_device_ms",
+                           t_fwd_p * 1e3) / 1e3
+    vops_per_cycle = tests / t_for_vops * 24 / 1024 / 0.94e9
     extra["config4_roofline"] = {
         "live_lane_pct": round(100 * live / (steps * 1024), 1),
         "leaves_entered_per_step": round(leaves / steps, 2),
@@ -273,14 +344,12 @@ def bench_config4(extra):
     }
 
     fb = _batch_frames(fwdbwd_frame, n_frames=1)
-    t_fb = _time_calls(fb, scene, cfg.aspect, iters=2)
-    extra["config4_fwdbwd_rays_per_sec"] = round(rays / t_fb)
-    extra["config4_fwdbwd_ms"] = round(t_fb * 1e3, 1)
-    # the production-mode forward (parallel RNG + mt-aware auto block):
-    # the headline config-4 forward speed
-    extra["config4_fwd_parallel_rays_per_sec"] = round(rays / t_fwd_p)
-    extra["config4_fwd_parallel_ms"] = round(t_fwd_p * 1e3, 1)
-    extra["config4_bwd_over_fwd"] = round((t_fb - t_fwd_p) / t_fwd_p, 2)
+    t_fb = _row(extra, "config4_fwdbwd", fb, scene, cfg.aspect, rays,
+                frames=1, iters=2)
+    # bwd/fwd from the DEVICE twins when both exist (wall otherwise)
+    d_fb = extra.get("config4_fwdbwd_device_ms", t_fb * 1e3)
+    d_fwd = extra.get("config4_fwd_parallel_device_ms", t_fwd_p * 1e3)
+    extra["config4_bwd_over_fwd"] = round((d_fb - d_fwd) / d_fwd, 2)
 
     # the BASELINE.json config-4 gradient workload verbatim: 100 spp
     # (round-2 verdict item 3 — previously never measured)
@@ -292,10 +361,8 @@ def bench_config4(extra):
         return jnp.sum(g[0].center) + jnp.sum(g[1].origin)
 
     fb100 = _batch_frames(fwdbwd100, n_frames=1)
-    t_fb100 = _time_calls(fb100, scene, cfg.aspect, iters=2)
-    extra["config4_100spp_fwdbwd_rays_per_sec"] = round(
-        cfg100.width * cfg100.height * cfg100.spp / t_fb100)
-    extra["config4_100spp_fwdbwd_ms"] = round(t_fb100 * 1e3, 1)
+    _row(extra, "config4_100spp_fwdbwd", fb100, scene, cfg.aspect,
+         rays100, frames=1, iters=2)
 
 
 def bench_refv2(extra):
@@ -310,9 +377,7 @@ def bench_refv2(extra):
     def f(s, c):
         return jnp.sum(render(s, c, cfg, backend="pallas", bvh=bvh))
 
-    t = _time_calls(f, scene, cfg.aspect, iters=2)
-    extra["refv2_fwd_rays_per_sec"] = round(rays / t)
-    extra["refv2_fwd_ms"] = round(t * 1e3, 1)
+    _row(extra, "refv2_fwd", f, scene, cfg.aspect, rays, iters=2)
     extra["refv2_config"] = ("random_world 1024x576 60spp depth50 "
                              "megakernel(refill, leaf64)")
 
@@ -325,9 +390,8 @@ def bench_refv2(extra):
     def f_p(s, c):
         return jnp.sum(render(s, c, cfg_p, backend="pallas", bvh=bvh))
 
-    t_p = _time_calls(f_p, scene, cfg.aspect, iters=2)
-    extra["refv2_fwd_parallel_rays_per_sec"] = round(rays / t_p)
-    extra["refv2_fwd_parallel_ms"] = round(t_p * 1e3, 1)
+    _row(extra, "refv2_fwd_parallel", f_p, scene, cfg.aspect, rays,
+         iters=2)
 
     # REFERENCE_V2 backward (round-2 verdict item 3: depth-50 reverse
     # sweep, windowed-refill PASS 2)
@@ -341,9 +405,7 @@ def bench_refv2(extra):
         g = jax.grad(loss_fn, argnums=(0, 1), allow_int=True)(s, c)
         return jnp.sum(g[0].center) + jnp.sum(g[1].origin)
 
-    t_bwd = _time_calls(f_bwd, scene, cfg.aspect, iters=2)
-    extra["refv2_fwdbwd_rays_per_sec"] = round(rays / t_bwd)
-    extra["refv2_fwdbwd_ms"] = round(t_bwd * 1e3, 1)
+    _row(extra, "refv2_fwdbwd", f_bwd, scene, cfg.aspect, rays, iters=2)
 
 
 def bench_config5(extra):
@@ -362,8 +424,8 @@ def bench_config5(extra):
     def f(s, c):
         return jnp.sum(render(s, c, cfg, backend="pallas", bvh=bvh))
 
-    t = _time_calls(f, scene, cfg.aspect, iters=1)
-    extra["config5_1chip_fwd_rays_per_sec"] = round(rays / t)
+    t = _row(extra, "config5_1chip_fwd", f, scene, cfg.aspect, rays,
+             iters=1)
     extra["config5_1chip_fwd_s"] = round(t, 2)
 
 
@@ -550,48 +612,39 @@ def bench_grad_sweep(extra):
         abs(an - ad) / max(abs(ad), 1e-5), 6)
 
 
-def _dispatch_overhead_ms():
-    """Per-dispatch tunnel floor: median wall of a trivial jitted scalar
-    op with distinct inputs.  Round-4 trace forensics: a config-4 frame
-    measured 100.6 ms on DEVICE vs 136.3 ms wall — every single-frame
-    wall number in this file includes this ~28-35 ms floor (and the
-    round-3 'speed-of-light' microbenches were measuring ONLY it)."""
-    f = jax.jit(lambda x: jnp.sum(x * 2.0))
-    x = jnp.ones((8, 128), jnp.float32)
-    float(f(x))
-    ts = []
-    for i in range(5):
-        t0 = time.perf_counter()
-        float(f(x + i))
-        ts.append(time.perf_counter() - t0)
-    return sorted(ts)[2] * 1e3
-
-
 def main():
     extra = {"platform": jax.devices()[0].platform,
              "frames_per_dispatch": _FRAMES}
-    fwd_rays_s = bench_config2(extra)
     on_tpu = extra["platform"] == "tpu"
     if on_tpu:
-        try:
-            extra["dispatch_overhead_ms"] = round(_dispatch_overhead_ms(), 1)
-            # the shared tunnel's healthy floor is ~26-32 ms; above
-            # that, every WALL row in this run is depressed by
-            # transport (device-side rows stay valid) — readers should
-            # prefer a clean-tunnel rerun for wall numbers
-            extra["tunnel_degraded"] = extra["dispatch_overhead_ms"] > 35
-        except Exception:  # noqa: BLE001
-            pass
+        _section_floor(extra, "bench_config2")
+    try:
+        fwd_rays_s = bench_config2(extra)
+    except Exception as e:  # noqa: BLE001
+        extra["bench_config2_error"] = f"{type(e).__name__}: {e}"[:300]
+        fwd_rays_s = 0.0
     if on_tpu:
         # sections are independent: a failure in one (tunnel hiccup,
-        # OOM) must not lose the rest of the round-end snapshot
+        # OOM) must not lose the rest of the round-end snapshot.  Each
+        # section re-probes the dispatch floor first: the round-4
+        # artifact had wall rows 3-5x low from a MID-RUN tunnel
+        # collapse that the single startup probe never saw.
         for section in (bench_config4, bench_refv2, bench_config5,
                         bench_grad_sweep):
+            _section_floor(extra, section.__name__)
             try:
                 section(extra)
             except Exception as e:  # noqa: BLE001
                 extra[f"{section.__name__}_error"] = (
                     f"{type(e).__name__}: {e}"[:300])
+        floors = [v for k, v in extra.items() if k.endswith("_floor_ms")]
+        if floors:
+            extra["dispatch_overhead_ms"] = min(floors)
+            # true iff ANY section started on a degraded tunnel; the
+            # per-section *_degraded / *_floor_ms rows say which walls
+            # to distrust (device rows stay valid regardless)
+            extra["tunnel_degraded"] = any(
+                f > _FLOOR_DEGRADED_MS for f in floors)
 
     result = {
         "metric": "fwd_rays_per_sec_per_chip",

@@ -86,6 +86,13 @@ def cmd_render(args) -> int:
                              f"{len(jax.devices())} devices available")
         if args.backend not in ("auto", "pallas"):
             raise SystemExit("--devices > 1 needs the pallas backend")
+        if args.refill or args.spp_batch != 1:
+            # the sharded path would silently drop these wavefront-only
+            # knobs and misreport what was measured (ADVICE round 4 —
+            # same policy as the --bvh misreport check above)
+            raise SystemExit(
+                "--refill/--spp-batch are wavefront-backend knobs and "
+                "are not supported with --devices > 1")
         mesh = shard.make_mesh(jax.devices()[:args.devices])
 
     if args.progressive:

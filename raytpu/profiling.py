@@ -75,18 +75,18 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
-def device_ms(run_once, pid_match: str = "TPU") -> float:
-    """Device-side wall of one dispatch, from a ``jax.profiler`` trace.
+def device_events(run_once, pid_match: str = "TPU") -> list:
+    """All device-side complete events of one traced dispatch.
 
-    ``run_once()`` must execute ONE blocking dispatch; the result is the
-    longest single event on a trace pid whose process name contains
-    ``pid_match`` — for a fused Pallas render that is the kernel's
-    device occupancy.  This is the honest per-frame chip time: wall
-    clocks over a remote-device link include a per-dispatch transport
-    floor (measured ~28-35 ms on the axon tunnel — round-4 forensics:
-    a config-4 frame walled 136.3 ms but ran 100.6 ms on device).
-    Device tracing works over the tunnel; pass ``pid_match="CPU"`` to
-    time host-platform runs (XLA CPU events land on the host pid).
+    Runs ``run_once()`` (ONE blocking dispatch) under ``jax.profiler``
+    and returns ``[(name, dur_ms), ...]`` for every ``ph == "X"`` event
+    on trace pids whose process name contains ``pid_match``, sorted by
+    duration descending.  The list contains BOTH the top-level
+    ``jit_<fn>(...)`` program event spanning the whole dispatch and the
+    per-kernel events under it (e.g. the forward megakernel and the
+    fused-VJP kernel show up as separate entries in a grad dispatch) —
+    verified over the tunnel in scripts/probe_devms_r5.py, where the
+    top event equals the busy-union of the kernel events.
     """
     import glob
     import gzip
@@ -95,7 +95,7 @@ def device_ms(run_once, pid_match: str = "TPU") -> float:
     d = tempfile.mkdtemp()
     with trace(d):
         run_once()
-    best = 0.0
+    out = []
     for path in glob.glob(d + "/plugins/profile/*/*.trace.json.gz"):
         with gzip.open(path) as fh:
             tr = json.load(fh)
@@ -106,8 +106,27 @@ def device_ms(run_once, pid_match: str = "TPU") -> float:
                 and pid_match in str(e.get("args", {}).get("name", ""))}
         for e in ev:
             if e.get("ph") == "X" and e.get("pid") in pids:
-                best = max(best, e.get("dur", 0) / 1e3)
-    if best <= 0:
+                out.append((str(e.get("name", "")), e.get("dur", 0) / 1e3))
+    out.sort(key=lambda t: -t[1])
+    return out
+
+
+def device_ms(run_once, pid_match: str = "TPU") -> float:
+    """Device-side wall of one dispatch, from a ``jax.profiler`` trace.
+
+    ``run_once()`` must execute ONE blocking dispatch; the result is the
+    longest single event on a trace pid whose process name contains
+    ``pid_match`` — the top-level XLA program event, which spans every
+    kernel in the dispatch (fwd-only or fwd+bwd alike).  This is the
+    honest per-frame chip time: wall clocks over a remote-device link
+    include a per-dispatch transport floor (measured ~28-35 ms on the
+    axon tunnel — round-4 forensics: a config-4 frame walled 136.3 ms
+    but ran 100.6 ms on device).  Device tracing works over the tunnel;
+    pass ``pid_match="CPU"`` to time host-platform runs (XLA CPU events
+    land on the host pid).
+    """
+    evs = device_events(run_once, pid_match)
+    if not evs or evs[0][1] <= 0:
         raise RuntimeError(
             f"no events on a pid matching {pid_match!r} in the trace")
-    return best
+    return evs[0][1]

@@ -91,23 +91,31 @@ def _accumulate_impl(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 # sharded accumulators, one compiled fn per (cfg, spp, mesh, bvh) —
-# rebuilding the shard_map every batch would recompile every batch
+# rebuilding the shard_map every batch would recompile every batch.
+# Each cache entry PINS its bvh object: the compiled fn bakes the BVH
+# arrays in as closure constants, so keying on id(bvh) is only sound
+# while that object stays alive (ADVICE round 4 — a freed id can be
+# reused by a different BVH and serve a stale kernel).  Bounded FIFO.
 _SHARDED_CACHE: dict = {}
+_SHARDED_CACHE_MAX = 16
 
 
 def _sharded_accumulator(cfg: RenderConfig, spp: int, mesh, bvh,
                          interpret: bool):
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from raytpu import shard
     from raytpu.kernels import megakernel as mk
 
     key = (cfg, spp, mesh, None if bvh is None else id(bvh), interpret)
     hit = _SHARDED_CACHE.get(key)
     if hit is not None:
-        return hit
+        return hit[0]
 
+    h = cfg.height
     n_sh = mesh.devices.size
-    slab = -(-cfg.height // (mk._TILE_H * n_sh)) * mk._TILE_H
+    slab = -(-h // (mk._TILE_H * n_sh)) * mk._TILE_H
+    hp = slab * n_sh
+    rows_sh = NamedSharding(mesh, P(shard.AXIS))
 
     def shard_fn(scene, cam, acc, seed, s0):
         row0 = jax.lax.axis_index(shard.AXIS) * slab
@@ -115,13 +123,28 @@ def _sharded_accumulator(cfg: RenderConfig, spp: int, mesh, bvh,
                                     bvh=bvh, interpret=interpret,
                                     row0=row0, rows=slab)
 
-    fn = jax.jit(jax.shard_map(
+    inner = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(shard.AXIS), P(shard.AXIS), P()),
         out_specs=(P(shard.AXIS), P(shard.AXIS)),
-        check_vma=False))
-    _SHARDED_CACHE[key] = (fn, slab, n_sh)
-    return fn, slab, n_sh
+        check_vma=False)
+
+    # pad/slice INSIDE the jit: over a remote-device link every eager
+    # dispatch costs ~60 ms, so the former eager .at[:h].set + per-batch
+    # device_puts added fixed overhead to each batch (ADVICE round 4)
+    @jax.jit
+    def outer(scene, cam, acc, seed, s0):
+        acc_p = jnp.zeros((hp, cfg.width, 3), jnp.float32).at[:h].set(acc)
+        seed_p = jnp.zeros((hp, cfg.width), jnp.uint32).at[:h].set(seed)
+        acc_p = jax.lax.with_sharding_constraint(acc_p, rows_sh)
+        seed_p = jax.lax.with_sharding_constraint(seed_p, rows_sh)
+        acc2, seed2 = inner(scene, cam, acc_p, seed_p, s0)
+        return acc2[:h], seed2[:h]
+
+    if len(_SHARDED_CACHE) >= _SHARDED_CACHE_MAX:
+        _SHARDED_CACHE.pop(next(iter(_SHARDED_CACHE)))
+    _SHARDED_CACHE[key] = (outer, bvh)
+    return outer
 
 
 def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
@@ -145,26 +168,24 @@ def accumulate(scene: Scene, cam: Camera, cfg: RenderConfig,
         if backend != "pallas":
             raise ValueError("mesh sharding needs backend='pallas'")
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from raytpu import shard
 
-        h = cfg.height
         interpret = jax.devices()[0].platform != "tpu"
-        fn, slab, n_sh = _sharded_accumulator(cfg, spp, mesh, bvh,
-                                              interpret)
-        hp = slab * n_sh
-        acc_p = jnp.zeros((hp, cfg.width, 3), jnp.float32).at[:h].set(
-            state.acc)
-        seed_p = jnp.zeros((hp, cfg.width), jnp.uint32).at[:h].set(
-            state.seed)
-        # carried state may still be laid out for a PREVIOUS mesh (or a
-        # single device): commit the padded slabs to THIS mesh's row
-        # sharding so checkpoints migrate freely between mesh sizes
-        rows_sh = NamedSharding(mesh, P(shard.AXIS))
-        acc_p = jax.device_put(acc_p, rows_sh)
-        seed_p = jax.device_put(seed_p, rows_sh)
-        acc2, seed2 = fn(scene, cam, acc_p, seed_p,
+        fn = _sharded_accumulator(cfg, spp, mesh, bvh, interpret)
+        acc_in, seed_in = state.acc, state.seed
+        # carried state may still live on a PREVIOUS mesh (or a single
+        # device): replicate onto THIS mesh once so the jit's device set
+        # matches — checkpoints migrate freely between mesh sizes.  In
+        # steady state (same mesh batch to batch) this is a no-op and
+        # each batch is ONE dispatch (padding/slicing ride inside jit).
+        mesh_devs = set(mesh.devices.flat)
+        sh = getattr(acc_in, "sharding", None)
+        if sh is not None and set(sh.device_set) != mesh_devs:
+            repl = NamedSharding(mesh, P())
+            acc_in = jax.device_put(acc_in, repl)
+            seed_in = jax.device_put(seed_in, repl)
+        acc2, seed2 = fn(scene, cam, acc_in, seed_in,
                          jnp.uint32(int(state.samples)))
-        return ProgressiveState(acc=acc2[:h], seed=seed2[:h],
+        return ProgressiveState(acc=acc2, seed=seed2,
                                 samples=state.samples + spp)
     if backend == "pallas":
         from raytpu.kernels import megakernel
