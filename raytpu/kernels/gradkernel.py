@@ -202,6 +202,17 @@ _NCAM_SUMS = 18
 # the gather's outputs).  RAYTPU_P2_ATTRS=0 reverts.
 _P2_ATTRS = bool(int(__import__("os").environ.get("RAYTPU_P2_ATTRS",
                                                   "1")))
+# TIMING-ONLY ablations for the backward roofline
+# (scripts/probe_bwd_roofline_r5.py): comma-separated component kills
+# that keep the refill state machine's schedule (trip counts, window
+# layout) bit-identical while skipping one cost center each — GRADIENTS
+# ARE WRONG with any flag set.  "norev" skips the reverse sweep;
+# "nostore" skips the residual-plane stores; "noscatter" skips the
+# per-step one-hot scatter matmuls; "novjp" replaces the in-kernel
+# jax.vjp transpose with cheap masked algebra of the same operands.
+_ABL = frozenset(
+    f for f in __import__("os").environ.get(
+        "RAYTPU_BWD_ABL", "").split(",") if f)
 _WR_ATTR0 = 14
 _NWREFILL = 23 if _P2_ATTRS else 14
 # flag bits in the _WR_FLG plane (i32 bitcast)
@@ -352,6 +363,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 gcam_acc[0, i] = 0.0
 
         def scatter_attr_grads(idxm_f, g9):
+            if "noscatter" in _ABL:  # timing-only ablation
+                return
             """gsc_acc[:, j] += per-winner sums of the attribute
             cotangents: one-hot MXU matmul per tile row (lanes with
             idx = -1 contribute nothing), replacing a serial distinct
@@ -996,27 +1009,30 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                          | jnp.where(missed, _F_MISS, 0)
                          | jnp.where(fresh > 0, _F_FRESH, 0)
                          | jnp.where(fin, _F_FIN, 0)).astype(jnp.int32)
-                res_ref[g, _WR_OX] = ox
-                res_ref[g, _WR_OY] = oy
-                res_ref[g, _WR_OZ] = oz
-                res_ref[g, _WR_DX] = dx
-                res_ref[g, _WR_DY] = dy
-                res_ref[g, _WR_DZ] = dz
-                res_ref[g, _WR_CR] = cr
-                res_ref[g, _WR_CG] = cg
-                res_ref[g, _WR_CB] = cb
-                res_ref[g, _WR_IDX] = jnp.where(scat, idx_f, -1.0)
-                res_ref[g, _WR_FLG] = pltpu.bitcast(flags, jnp.float32)
-                res_ref[g, _WR_SEED] = pltpu.bitcast(sd, jnp.float32)
-                res_ref[g, _WR_SPL] = s_cur
-                res_ref[g, _WR_MPL] = m_pl
-                if _P2_ATTRS:
-                    # masked like the reverse's gather-by-stored-idx
-                    # (idx = -1 for non-scat lanes -> all-zero attrs),
-                    # so the reverse reads bit-identical values
-                    for _k in range(9):
-                        res_ref[g, _WR_ATTR0 + _k] = jnp.where(
-                            scat, attrs[_k], 0.0)
+                if "nostore" not in _ABL:  # timing-only ablation guard
+                    res_ref[g, _WR_OX] = ox
+                    res_ref[g, _WR_OY] = oy
+                    res_ref[g, _WR_OZ] = oz
+                    res_ref[g, _WR_DX] = dx
+                    res_ref[g, _WR_DY] = dy
+                    res_ref[g, _WR_DZ] = dz
+                    res_ref[g, _WR_CR] = cr
+                    res_ref[g, _WR_CG] = cg
+                    res_ref[g, _WR_CB] = cb
+                    res_ref[g, _WR_IDX] = jnp.where(scat, idx_f, -1.0)
+                    res_ref[g, _WR_FLG] = pltpu.bitcast(flags,
+                                                        jnp.float32)
+                    res_ref[g, _WR_SEED] = pltpu.bitcast(sd, jnp.float32)
+                    res_ref[g, _WR_SPL] = s_cur
+                    res_ref[g, _WR_MPL] = m_pl
+                    if _P2_ATTRS:
+                        # masked like the reverse's gather-by-stored-idx
+                        # (idx = -1 for non-scat lanes -> all-zero
+                        # attrs), so the reverse reads bit-identical
+                        # values
+                        for _k in range(9):
+                            res_ref[g, _WR_ATTR0 + _k] = jnp.where(
+                                scat, attrs[_k], 0.0)
                 n_ro, n_rd, n_thr, _out = _bounce_f(
                     (ox, oy, oz), (dx, dy, dz), (cr, cg, cb), attrs,
                     (scat, missed), sd, t_min, cfg.scatter_mode)
@@ -1117,17 +1133,30 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     v_b = jnp.where(fin,
                                     jnp.where(missed, cb * skb, 0.0), v_b)
 
-                    def f(ro, rd, thr, attrs_):
-                        return _bounce_f(ro, rd, thr, attrs_,
-                                         (scat, missed), sd_t, t_min,
-                                         cfg.scatter_mode)
+                    if "novjp" in _ABL:
+                        # timing-only ablation: cheap masked algebra of
+                        # the same operands keeps the carries and the
+                        # scatter operands live without the transpose
+                        n_ro = (d_ox + dacc_r_g * ox,
+                                d_oy + dacc_g_g * oy,
+                                d_oz + dacc_b_g * oz)
+                        n_rd = (d_dx + dacc_r_g * dx,
+                                d_dy + dacc_g_g * dy,
+                                d_dz + dacc_b_g * dz)
+                        n_thr = (d_cr + cr, d_cg + cg, d_cb + cb)
+                        g_attrs = tuple(a * d_ox for a in attrs)
+                    else:
+                        def f(ro, rd, thr, attrs_):
+                            return _bounce_f(ro, rd, thr, attrs_,
+                                             (scat, missed), sd_t, t_min,
+                                             cfg.scatter_mode)
 
-                    _, vjp = jax.vjp(f, (ox, oy, oz), (dx, dy, dz),
-                                     (cr, cg, cb), attrs)
-                    (n_ro, n_rd, n_thr, g_attrs) = vjp(
-                        ((d_ox, d_oy, d_oz), (d_dx, d_dy, d_dz),
-                         (d_cr, d_cg, d_cb),
-                         (dacc_r_g, dacc_g_g, dacc_b_g)))
+                        _, vjp = jax.vjp(f, (ox, oy, oz), (dx, dy, dz),
+                                         (cr, cg, cb), attrs)
+                        (n_ro, n_rd, n_thr, g_attrs) = vjp(
+                            ((d_ox, d_oy, d_oz), (d_dx, d_dy, d_dz),
+                             (d_cr, d_cg, d_cb),
+                             (dacc_r_g, dacc_g_g, dacc_b_g)))
 
                     if vis_w > 0:
                         g_attrs = silhouette_terms(
@@ -1176,7 +1205,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                             d_cr, d_cg, d_cb, v_r, v_g, v_b, *sums)
 
                 carry0 = tuple(zero for _ in range(12 + _NCAM_SUMS))
-                carry = jax.lax.fori_loop(0, g_hi, rev_body, carry0)
+                g_rev = jnp.int32(0) if "norev" in _ABL else g_hi
+                carry = jax.lax.fori_loop(0, g_rev, rev_body, carry0)
                 for i in range(_NCAM_SUMS):
                     kahan_fold(i, jnp.sum(carry[12 + i]))
                 return (s_pl_out, m_pl_out)

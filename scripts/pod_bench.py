@@ -34,6 +34,9 @@ def main(argv=None):
                     help="call jax.distributed.initialize() first")
     ap.add_argument("--spp", type=int, default=None,
                     help="override spp (default: 500, or 2 with --cpu)")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--depth", type=int, default=None)
     ap.add_argument("--train", action="store_true",
                     help="also measure train-step (fwd+bwd) scaling")
     ap.add_argument("--iters", type=int, default=3)
@@ -56,12 +59,14 @@ def main(argv=None):
     devices = jax.devices()
     D = len(devices)
     if args.cpu:
-        cfg = RenderConfig(width=320, height=160,
-                           spp=args.spp or 2, depth=4)
+        cfg = RenderConfig(width=args.width or 320,
+                           height=args.height or 160,
+                           spp=args.spp or 2, depth=args.depth or 4)
         iters = 1
     else:
-        cfg = RenderConfig(width=1920, height=1080,
-                           spp=args.spp or 500, depth=12)
+        cfg = RenderConfig(width=args.width or 1920,
+                           height=args.height or 1080,
+                           spp=args.spp or 500, depth=args.depth or 12)
         iters = args.iters
     scene = raytpu.final_world()
     b = bvh_mod.build_bvh(scene)
@@ -119,23 +124,39 @@ def main(argv=None):
         rows.append(row)
 
     anchor = rows[0]["fwd_rays_s"]
+    # On a VIRTUAL CPU mesh all n "devices" share the host's cores, so
+    # the achievable efficiency ceiling is min(1, ncores/n) — with 4
+    # cores an 8-device mesh can reach at most 50%.  The ceiling is
+    # stated per row so the dryrun table reads as "fraction of the
+    # virtual-mesh ceiling", not as a (meaningless) absolute scaling
+    # number; real-pod efficiency needs real chips.
+    ncores = os.cpu_count() or 1
+    cpu_mesh = devices[0].platform == "cpu"
     print(f"\n{'N':>3} {'fwd s':>9} {'fwd Mrays/s':>12} {'eff %':>7}"
+          + ("  ceil %" if cpu_mesh else "")
           + ("  fwd+bwd Mrays/s  eff %" if args.train else ""))
     for r in rows:
         eff = 100.0 * r["fwd_rays_s"] / (r["n"] * anchor)
         r["fwd_eff_pct"] = round(eff, 1)
         line = (f"{r['n']:>3} {r['fwd_s']:>9.3f} "
                 f"{r['fwd_rays_s']/1e6:>12.1f} {eff:>7.1f}")
+        if cpu_mesh:
+            ceil = 100.0 * min(1.0, ncores / r["n"])
+            r["cpu_ceiling_pct"] = round(ceil, 1)
+            line += f" {ceil:>7.1f}"
         if args.train:
             effb = (100.0 * r["fwdbwd_rays_s"]
                     / (r["n"] * rows[0]["fwdbwd_rays_s"]))
             r["fwdbwd_eff_pct"] = round(effb, 1)
             line += f"  {r['fwdbwd_rays_s']/1e6:>15.1f} {effb:>6.1f}"
         print(line)
-    print(json.dumps({"config": f"{cfg.width}x{cfg.height} spp{cfg.spp} "
-                                f"depth{cfg.depth} n_spheres{scene.count}",
-                      "platform": devices[0].platform,
-                      "rows": rows}))
+    out = {"config": f"{cfg.width}x{cfg.height} spp{cfg.spp} "
+                     f"depth{cfg.depth} n_spheres{scene.count}",
+           "platform": devices[0].platform,
+           "rows": rows}
+    if cpu_mesh:
+        out["host_cores"] = ncores
+    print(json.dumps(out))
     return rows
 
 
