@@ -243,18 +243,34 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                       p2_refill: bool = False,
                       p2_steps: int = 0,
                       block_w: int = _TILE_W,
-                      multi_tile: int = 1):
+                      multi_tile: int = 1,
+                      tape_mode: str = "",
+                      tape_gcap: int = 0):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
     assert not (skip_p1 and not parallel), \
         "PASS-1 elision needs order-free per-sample seeds (parallel RNG)"
-    assert not (p2_refill and not skip_p1), \
+    assert not (p2_refill and not skip_p1) or tape_mode == "write", \
         "refill PASS 2 needs fold_in sample streams + the image operand"
     assert not p2_refill or p2_steps >= depth, \
         "the step window must fit at least one full-depth sample"
     assert multi_tile == 1 or p2_refill, \
         "multi-tile grouping needs the refill PASS 2"
+    # winner-index tape (round 5): "write" = the taping FORWARD (renders
+    # the image, runs the SAME windowed/parked refill schedule as the
+    # replay, and streams each step's winner index to an HBM tape);
+    # "read" = the replay VJP (PASS-2 forward reads the tape back
+    # instead of re-running the closest-hit sweep — the sweep was 87%
+    # of the VJP kernel, scripts/probe_bwd_roofline_r5.py).  Schedule
+    # identity between the two is BY CONSTRUCTION: one win_body, one
+    # parking rule, one respawn rule.
+    assert tape_mode in ("", "write", "read")
+    if tape_mode:
+        assert p2_refill and parallel and tape_gcap > 0 and fat_pad, \
+            "the tape rides the windowed refill PASS 2 (parallel RNG)"
+        assert vis_w == 0.0 or tape_mode == "write", \
+            "silhouette terms keep the classic PASS 2 (near-miss sweep)"
     t_min = np.float32(cfg.t_min)
     inv_w = np.float32(1.0 / (cfg.width - 1))
     inv_h = np.float32(1.0 / (cfg.height - 1))
