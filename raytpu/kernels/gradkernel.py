@@ -281,12 +281,22 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
         idx_ref = None
         fat_ref = None
         seeds_ref = None
+        tape_ref = t_stage = t_sem = None
         imgr_ref = imgg_ref = imgb_ref = None
         if n_nodes:
             nd_ref, *rest = rest
         if fat_pad:
             fat_ref, *rest = rest
-        if skip_p1:
+        if tape_mode == "write":
+            # taping forward: no cotangent/grad plumbing at all —
+            # renders the image and streams the winner-index tape
+            (r_ref, g_ref, b_ref, tape_ref, t_stage, t_sem) = rest
+        elif tape_mode == "read":
+            (tape_ref, ctr_ref, ctg_ref, ctb_ref,
+             imgr_ref, imgg_ref, imgb_ref,
+             r_ref, g_ref, b_ref, gsc_ref, gcam_ref,
+             res_ref, gsc_acc, gcam_acc, t_stage, t_sem) = rest
+        elif skip_p1:
             # PASS 1 elided: the forward image rides in as an operand
             # (parallel RNG re-derives each sample's seed by fold_in, so
             # neither per-sample seeds nor winner indices need storing)
@@ -371,12 +381,13 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
         # Scene grads live in a VMEM (16, n_pad) accumulator (vector
         # adds; scalar stores to VMEM are forbidden but vector ones are
         # fine); camera sums stay SMEM scalars.
-        @pl.when(first)
-        def _():
-            gsc_acc[:, :] = jnp.zeros(
-                (16, gsc_acc.shape[1]), jnp.float32)
-            for i in range(gcam_acc.shape[1]):
-                gcam_acc[0, i] = 0.0
+        if tape_mode != "write":
+            @pl.when(first)
+            def _():
+                gsc_acc[:, :] = jnp.zeros(
+                    (16, gsc_acc.shape[1]), jnp.float32)
+                for i in range(gcam_acc.shape[1]):
+                    gcam_acc[0, i] = 0.0
 
         def scatter_attr_grads(idxm_f, g9):
             if "noscatter" in _ABL:  # timing-only ablation
@@ -785,12 +796,24 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
 
             jax.lax.fori_loop(0, dyn_depth, full_clr, 0)
 
+        if tape_mode == "write":
+            # image accumulation planes (megakernel flush pattern): the
+            # output blocks hold the running per-pixel linear sums until
+            # the final gamma conversion after the window loop
+            zero_blk = jnp.zeros((multi_tile * _TILE_H, _TILE_W),
+                                 jnp.float32)
+            r_ref[:, :] = zero_blk
+            g_ref[:, :] = zero_blk
+            b_ref[:, :] = zero_blk
+
         # ---- PASS 1: forward all samples -> linear sums.  Elided when
         # the caller supplies the forward image (skip_p1): the cotangent
         # scale below needs only the gamma'd image, and parallel RNG
         # re-derives per-sample seeds — so the whole extra forward (the
         # dominant closest-hit sweep included) vanishes from the VJP.
-        if skip_p1:
+        if tape_mode == "write":
+            pass
+        elif skip_p1:
             img_r = imgr_ref[:, :]
             img_g = imgg_ref[:, :]
             img_b = imgb_ref[:, :]
@@ -818,23 +841,25 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             img_r = to_gamma(acc_r * inv_spp)
             img_g = to_gamma(acc_g * inv_spp)
             img_b = to_gamma(acc_b * inv_spp)
-        r_ref[:, :] = img_r
-        g_ref[:, :] = img_g
-        b_ref[:, :] = img_b
 
-        # cotangent of the linear per-sample radiance:
-        # d img/d acc = (1/gamma) * img^(1-gamma) / spp  (0 where acc<=0)
-        def dacc(img, ct):
-            d = jnp.where(
-                img > 0,
-                jnp.exp(jnp.log(jnp.where(img > 0, img, 1.0))
-                        * (1.0 - gamma)) / gamma,
-                0.0)
-            return ct * d * inv_spp
+        if tape_mode != "write":
+            r_ref[:, :] = img_r
+            g_ref[:, :] = img_g
+            b_ref[:, :] = img_b
 
-        dacc_r = dacc(img_r, ctr_ref[:, :])
-        dacc_g = dacc(img_g, ctg_ref[:, :])
-        dacc_b = dacc(img_b, ctb_ref[:, :])
+            # cotangent of the linear per-sample radiance:
+            # d img/d acc = (1/gamma)*img^(1-gamma)/spp (0 where acc<=0)
+            def dacc(img, ct):
+                d = jnp.where(
+                    img > 0,
+                    jnp.exp(jnp.log(jnp.where(img > 0, img, 1.0))
+                            * (1.0 - gamma)) / gamma,
+                    0.0)
+                return ct * d * inv_spp
+
+            dacc_r = dacc(img_r, ctr_ref[:, :])
+            dacc_g = dacc(img_g, ctg_ref[:, :])
+            dacc_b = dacc(img_b, ctb_ref[:, :])
 
         # ---- PASS 2: per sample, re-forward with stores then reverse
         def p2_body(s, cam_sums):
@@ -1009,12 +1034,62 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
             def win_cond(st):
                 return jnp.max(st[10]) > 0
 
+            if tape_mode == "write":
+                def flush(mask, m_sel, fr, fgg, fbb):
+                    # predicated RMW into the finished block's rows —
+                    # tile_done is rare, so the whole unrolled RMW runs
+                    # only when some lane finished a tile (megakernel
+                    # make_refill_step's flush, op-for-op)
+                    @pl.when(jnp.max(jnp.where(mask, 1.0, 0.0)) > 0)
+                    def _():
+                        for m in range(multi_tile):
+                            mm = mask & (m_sel == jnp.float32(m))
+                            sl = slice(m * _TILE_H, (m + 1) * _TILE_H)
+                            for ref, v in ((r_ref, fr), (g_ref, fgg),
+                                           (b_ref, fbb)):
+                                cur = ref[sl, :]
+                                ref[sl, :] = jnp.where(mm, cur + v, cur)
+
             def win_body(st):
-                (g, ox, oy, oz, dx, dy, dz, cr, cg, cb,
-                 alive_f, sd, s_cur, d_pl, fresh, m_pl) = st
+                if tape_mode == "write":
+                    (g, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                     alive_f, sd, s_cur, d_pl, fresh, m_pl,
+                     goff, rr, rg, rb, ar, ag, ab) = st
+                elif tape_mode == "read":
+                    (g, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                     alive_f, sd, s_cur, d_pl, fresh, m_pl, goff) = st
+                else:
+                    (g, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                     alive_f, sd, s_cur, d_pl, fresh, m_pl) = st
                 alive = alive_f > 0
-                idx_f, hit_any, attrs = closest_hit(
-                    ox, oy, oz, dx, dy, dz, alive)
+                if tape_mode == "read":
+                    # winner index from the HBM tape — NO closest-hit
+                    # sweep (87% of the classic VJP kernel's window
+                    # forward, probe_bwd_roofline_r5).  2-slot prefetch
+                    # pipeline: wait this step's plane, consume, start
+                    # the copy for step t+2 into the freed slot.  (The
+                    # clamp mirrors the writer's defensive clamp.)
+                    t_abs = jnp.minimum(goff + g, jnp.int32(tape_gcap - 1))
+                    slot = jax.lax.rem(t_abs, 2)
+                    pltpu.make_async_copy(
+                        tape_ref.at[ti, tj, t_abs], t_stage.at[slot],
+                        t_sem.at[slot]).wait()
+                    raw = t_stage[slot]
+                    nxt = jnp.minimum(t_abs + 2,
+                                      jnp.int32(tape_gcap - 1))
+                    pltpu.make_async_copy(
+                        tape_ref.at[ti, tj, nxt], t_stage.at[slot],
+                        t_sem.at[slot]).start()
+                    hit_any = raw >= 0
+                    idx_f = jnp.maximum(raw, 0.0)
+                    # exact one-hot extraction of the winner's attrs
+                    # (miss lanes gather column 0 — every downstream
+                    # use is scat/missed-masked, and the residual store
+                    # re-masks to match the classic kernel bit-for-bit)
+                    attrs = gather_attrs(idx_f)
+                else:
+                    idx_f, hit_any, attrs = closest_hit(
+                        ox, oy, oz, dx, dy, dz, alive)
                 mt = attrs[4]
                 ok = (mt == 0.0) | (mt == 1.0) | (mt == 2.0)
                 scat = alive & hit_any & ok
@@ -1025,7 +1100,42 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                          | jnp.where(missed, _F_MISS, 0)
                          | jnp.where(fresh > 0, _F_FRESH, 0)
                          | jnp.where(fin, _F_FIN, 0)).astype(jnp.int32)
-                if "nostore" not in _ABL:  # timing-only ablation guard
+                if tape_mode == "write":
+                    # stream this step's winner plane to the HBM tape
+                    # (2-slot staging: wait the copy issued two steps
+                    # ago on this slot before overwriting it).  The
+                    # index clamp is defensive only: tape_plan's g_cap
+                    # is a proven worst-case bound (+1 window margin),
+                    # so the clamp never fires in practice — it turns a
+                    # hypothetical bound bug into a stale-plane read
+                    # instead of an out-of-bounds DMA.
+                    t_abs = jnp.minimum(goff + g, jnp.int32(tape_gcap - 1))
+                    slot = jax.lax.rem(t_abs, 2)
+
+                    @pl.when(t_abs >= 2)
+                    def _():
+                        pltpu.make_async_copy(
+                            t_stage.at[slot],
+                            tape_ref.at[ti, tj, t_abs],
+                            t_sem.at[slot]).wait()
+
+                    _dbg = __import__("os").environ.get(
+                        "RAYTPU_TAPE_DEBUG", "")
+                    if _dbg:
+                        # diagnostic: record a state plane instead of
+                        # the winner index (tape becomes unusable for
+                        # replay — debugging only)
+                        t_stage[slot] = {
+                            "dx": dx, "dy": dy, "dz": dz, "ox": ox,
+                            "oy": oy, "oz": oz, "cr": cr,
+                            "sd": pltpu.bitcast(sd, jnp.float32),
+                        }[_dbg]
+                    else:
+                        t_stage[slot] = jnp.where(hit_any, idx_f, -1.0)
+                    pltpu.make_async_copy(
+                        t_stage.at[slot], tape_ref.at[ti, tj, t_abs],
+                        t_sem.at[slot]).start()
+                if tape_mode != "write" and "nostore" not in _ABL:
                     res_ref[g, _WR_OX] = ox
                     res_ref[g, _WR_OY] = oy
                     res_ref[g, _WR_OZ] = oz
@@ -1057,12 +1167,36 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 ox, oy, oz = n_ro
                 dx, dy, dz = n_rd
                 cr, cg, cb = n_thr
+                if tape_mode == "write":
+                    # per-sample radiance (out is nonzero only at the
+                    # miss step — megakernel add-once invariant)
+                    rr = rr + _out[0]
+                    rg = rg + _out[1]
+                    rb = rb + _out[2]
                 s_next = jnp.where(fin, s_cur + 1.0, s_cur)
                 tile_done = fin & (s_next >= spp_f)
                 m_next = jnp.where(tile_done, m_pl + 1.0, m_pl)
                 s_eff = jnp.where(tile_done, 0.0, s_next)
                 can = (g + 1 + dyn_depth) <= g_cap
                 more = fin & (m_next < mt_f) & can
+                if tape_mode == "write":
+                    # fold finished samples into the per-lane tile
+                    # accumulator; flush exhausted tiles into the output
+                    # block (sample order per pixel = the megakernel's,
+                    # so images stay bit-compatible)
+                    fr_ = ar + rr
+                    fg_ = ag + rg
+                    fb_ = ab + rb
+                    flush(tile_done, m_pl, fr_, fg_, fb_)
+                    ar = jnp.where(tile_done, 0.0,
+                                   jnp.where(fin, fr_, ar))
+                    ag = jnp.where(tile_done, 0.0,
+                                   jnp.where(fin, fg_, ag))
+                    ab = jnp.where(tile_done, 0.0,
+                                   jnp.where(fin, fb_, ab))
+                    rr = jnp.where(fin, 0.0, rr)
+                    rg = jnp.where(fin, 0.0, rg)
+                    rb = jnp.where(fin, 0.0, rb)
                 sd_r = rng.fold_in(
                     seed0_at(m_next),
                     s_eff.astype(jnp.int32).astype(jnp.uint32))
@@ -1083,11 +1217,21 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 d_pl = jnp.where(more, 0.0, d_next)
                 fresh = jnp.where(more, 1.0, 0.0)
                 s_cur = jnp.where(fin, s_eff, s_cur)
-                return (g + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
+                base = (g + 1, ox, oy, oz, dx, dy, dz, cr, cg, cb,
                         alive_f, sd, s_cur, d_pl, fresh, m_next)
+                if tape_mode == "write":
+                    return (*base, goff, rr, rg, rb, ar, ag, ab)
+                if tape_mode == "read":
+                    return (*base, goff)
+                return base
 
             def outer_body(carry_out):
-                s_pl, m_pl = carry_out
+                if tape_mode == "write":
+                    s_pl, m_pl, goff, ar0, ag0, ab0 = carry_out
+                elif tape_mode == "read":
+                    s_pl, m_pl, goff = carry_out
+                else:
+                    s_pl, m_pl = carry_out
                 pending = m_pl < mt_f
                 sd_r = rng.fold_in(
                     seed0_at(m_pl),
@@ -1097,10 +1241,19 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 pf = jnp.where(pending, 1.0, 0.0)
                 st = (jnp.int32(0), iox, ioy, ioz, idxr, idyr, idzr,
                       one, one, one, pf, sd_i, s_pl, zero, pf, m_pl)
+                if tape_mode == "write":
+                    st = (*st, goff, zero, zero, zero, ar0, ag0, ab0)
+                elif tape_mode == "read":
+                    st = (*st, goff)
                 st = jax.lax.while_loop(win_cond, win_body, st)
                 g_hi = st[0]
                 s_pl_out = st[12]
                 m_pl_out = st[15]
+                if tape_mode == "write":
+                    # no reverse in the taping forward: carry the tape
+                    # offset and the parked lanes' tile accumulators
+                    return (s_pl_out, m_pl_out, goff + g_hi,
+                            st[20], st[21], st[22])
 
                 def rev_body(k, carry):
                     g = g_hi - 1 - k
@@ -1225,18 +1378,64 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                 carry = jax.lax.fori_loop(0, g_rev, rev_body, carry0)
                 for i in range(_NCAM_SUMS):
                     kahan_fold(i, jnp.sum(carry[12 + i]))
+                if tape_mode == "read":
+                    return (s_pl_out, m_pl_out, goff + g_hi)
                 return (s_pl_out, m_pl_out)
 
             def outer_cond(carry_out):
                 return jnp.min(carry_out[1]) < mt_f
 
-            jax.lax.while_loop(outer_cond, outer_body, (zero, zero))
+            if tape_mode == "write":
+                # prime nothing: the first two stage slots are written
+                # before their first wait (guarded by t_abs >= 2)
+                fin_c = jax.lax.while_loop(
+                    outer_cond, outer_body,
+                    (zero, zero, jnp.int32(0), zero, zero, zero))
+                tot = fin_c[2]
+                # drain the last two in-flight tape copies
+                for _k in (2, 1):
+                    t_d = jnp.minimum(tot - _k, jnp.int32(tape_gcap - 1))
 
-        @pl.when(last)
-        def _():
-            gsc_ref[:, :] = gsc_acc[:, :]
-            for i in range(32):
-                gcam_ref[0, i] = gcam_acc[0, i]
+                    @pl.when(t_d >= 0)
+                    def _(t_d=t_d):
+                        slot = jax.lax.rem(t_d, 2)
+                        pltpu.make_async_copy(
+                            t_stage.at[slot], tape_ref.at[ti, tj, t_d],
+                            t_sem.at[slot]).wait()
+                # linear sums -> display image (golden._to_gamma twin)
+                inv_spp_f = jnp.float32(inv_spp)
+
+                def _gam(x):
+                    safe = jnp.where(x > 0, x, 1.0)
+                    return jnp.where(
+                        x > 0, jnp.exp(jnp.log(safe) / gamma), 0.0)
+
+                r_ref[:, :] = _gam(r_ref[:, :] * inv_spp_f)
+                g_ref[:, :] = _gam(g_ref[:, :] * inv_spp_f)
+                b_ref[:, :] = _gam(b_ref[:, :] * inv_spp_f)
+            elif tape_mode == "read":
+                # prime the 2-slot prefetch pipeline for steps 0 and 1
+                for _t0 in range(2):
+                    _t0c = min(_t0, tape_gcap - 1)
+                    pltpu.make_async_copy(
+                        tape_ref.at[ti, tj, _t0c], t_stage.at[_t0],
+                        t_sem.at[_t0]).start()
+                jax.lax.while_loop(outer_cond, outer_body,
+                                   (zero, zero, jnp.int32(0)))
+                # two prefetches are always outstanding at exit
+                for _s in range(2):
+                    pltpu.make_async_copy(
+                        tape_ref.at[ti, tj, 0], t_stage.at[_s],
+                        t_sem.at[_s]).wait()
+            else:
+                jax.lax.while_loop(outer_cond, outer_body, (zero, zero))
+
+        if tape_mode != "write":
+            @pl.when(last)
+            def _():
+                gsc_ref[:, :] = gsc_acc[:, :]
+                for i in range(32):
+                    gcam_ref[0, i] = gcam_acc[0, i]
 
     return kernel
 
@@ -1245,7 +1444,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                       interpret: bool | None = None, bvh=None,
                       row0=0, rows=None, vma=None, vis_w: float = 0.0,
                       img=None, p2_refill: bool | None = None,
-                      block_w: int | None = None):
+                      block_w: int | None = None, tape=None):
     """Fused image + VJP -> (img, d_scene, d_camera) for image cotangent
     ``ct``.  Pass a BVH to accelerate large scenes (the returned d_scene
     is in the ORIGINAL sphere order).
@@ -1373,12 +1572,20 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
     from raytpu.kernels.megakernel import _bvh_outliers
     outl = (None if bvh is None
             else _bvh_outliers(bvh.perm, bvh.flat, bvh.leaf_size))
+    use_tape = tape is not None
+    if use_tape:
+        assert p2_refill and skip_p1, \
+            "the tape replay rides the windowed refill PASS 2"
+        assert tape.shape[:2] == pgrid and tape.shape[3:] == (
+            _TILE_H, _TILE_W), (tape.shape, pgrid)
     kernel = _make_grad_kernel(
         cfg, n, n_nodes=m, store_idx=store_idx, vis_w=float(vis_w),
         static_leaf=None if bvh is None else bvh.leaf_size,
         flat_leaves=use_flat, fat_pad=fat_pad, skip_p1=skip_p1,
         outliers=outl, p2_refill=p2_refill, p2_steps=p2_steps,
-        block_w=block_w, multi_tile=mt)
+        block_w=block_w, multi_tile=mt,
+        tape_mode="read" if use_tape else "",
+        tape_gcap=int(tape.shape[2]) if use_tape else 0)
     # nk, not n: dyn_nsph bounds the vis_w near-miss sweep, which runs
     # over the PERMUTED pack — real spheres sit at rows >= count when
     # leaves carry padding dummies (dummies are NaN and never win)
@@ -1390,6 +1597,11 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         in_specs.append(smem)
     operands.append(fat)
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if use_tape:
+        # the winner-index tape stays in HBM; the kernel prefetches one
+        # (8, 128) plane per step through a 2-slot DMA pipeline
+        operands.append(jnp.asarray(tape, jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
     operands += [lay(ct_pad[:, :, 0]), lay(ct_pad[:, :, 1]),
                  lay(ct_pad[:, :, 2])]
     in_specs += [plane, plane, plane]
@@ -1416,6 +1628,9 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         # 18 camera sums + 14 spare + 18 Kahan compensations
         pltpu.SMEM((1, 64), jnp.float32),
     ]
+    if use_tape:
+        scratch += [pltpu.VMEM((2, _TILE_H, _TILE_W), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
     r, g, b, gsc, gcam = pl.pallas_call(
         kernel,
         grid=pgrid,
@@ -1468,3 +1683,159 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                             + jnp.dot(cam.v, sum_ldy_eo)),
     )
     return img, d_scene, d_cam
+
+
+# ---- winner-index tape (round 5) -------------------------------------------
+#
+# The backward roofline (scripts/probe_bwd_roofline_r5.py, one v5e chip,
+# config-4 @ 100 spp) showed the fused VJP kernel is 87% a DUPLICATED
+# forward: 482.8 ms window-forward (closest-hit sweep dominated) + 73.1
+# ms reverse, while the render forward had already swept the identical
+# rays.  The tape removes the duplication: under jax.grad, the
+# custom_vjp's forward runs ``render_tape_fwd`` — the same windowed/
+# parked refill schedule as the VJP's PASS 2, streaming each step's
+# winner index to an HBM tape — and the backward replays the tape
+# (gather instead of sweep).  Gradients are BIT-IDENTICAL to the
+# classic refill PASS 2: the state machines are the same code, and the
+# classic kernel's attrs already come from the same one-hot gather.
+#
+# The tape is sized for the WORST CASE schedule (every sample runs to
+# the depth cap) and gated by RAYTPU_TAPE_BUDGET bytes — workloads past
+# the budget (e.g. REFERENCE_V2's depth-50 x 60 spp ~ 12 GB) keep the
+# classic self-sweeping PASS 2.  RAYTPU_TAPE=0 disables.
+
+_TAPE = __import__("os").environ.get("RAYTPU_TAPE", "1") != "0"
+_TAPE_BUDGET = int(float(__import__("os").environ.get(
+    "RAYTPU_TAPE_BUDGET", str(4 * 2**30))))
+
+
+def _p2_plan(cfg: RenderConfig, n: int, bvh):
+    """The (block_w, mt, p2_steps, grid, pgrid) the windowed refill
+    PASS 2 will use — shared by the taping forward and the replay so
+    their schedules agree by construction."""
+    from raytpu.kernels.megakernel import _auto_block_w, _mt_for
+    h = cfg.height
+    block_w = _TILE_W if bvh is None else _auto_block_w(cfg, n, h)
+    block_h = (_TILE_H * _TILE_W) // block_w
+    hp = -(-h // block_h) * block_h
+    wp = -(-cfg.width // block_w) * block_w
+    grid = (hp // block_h, wp // block_w)
+    mt = _mt_for(h, block_w, cfg, n)
+    tile_bytes = _TILE_H * _TILE_W * 4
+    p2_steps = max(cfg.depth, min(cfg.spp * cfg.depth,
+                                  _P2_VMEM_BUDGET
+                                  // (_NWREFILL * tile_bytes)))
+    return block_w, mt, p2_steps, grid, (grid[0] // mt, grid[1])
+
+
+def tape_plan(cfg: RenderConfig, n: int, bvh=None, vis_w: float = 0.0,
+              interpret: bool = False):
+    """-> {"g_cap", "bytes"} when the taped backward applies, else None.
+
+    Applies when: parallel RNG (fold_in streams), the refill PASS 2
+    would engage, no silhouette terms (their near-miss sweep keeps the
+    classic kernel), compiled execution, and the worst-case tape fits
+    RAYTPU_TAPE_BUDGET."""
+    import os as _os
+    if not _TAPE or vis_w != 0.0 or cfg.rng_mode != "parallel":
+        return None
+    from raytpu.kernels.megakernel import _REFILL_MIN
+    env = _os.environ.get("RAYTPU_GRAD_REFILL")
+    if env == "0" or not (n >= _REFILL_MIN or env == "1"):
+        return None
+    block_w, mt, p2_steps, grid, pgrid = _p2_plan(cfg, n, bvh)
+    d = cfg.depth
+    # worst-case global steps: every busy lane completes at least
+    # spw = (p2_steps - depth) // depth samples per window (respawn
+    # allowed while g <= p2_steps - depth - 1; a sample lasts <= depth
+    # steps), each lane owns mt * spp samples, and a window never
+    # exceeds p2_steps steps.  One extra window of margin.
+    spw = max(1, (p2_steps - d) // d)
+    n_win = -(-mt * cfg.spp // spw) + 1
+    g_cap = n_win * p2_steps
+    nbytes = pgrid[0] * pgrid[1] * g_cap * _TILE_H * _TILE_W * 4
+    if nbytes > _TAPE_BUDGET:
+        return None
+    return {"g_cap": int(g_cap), "bytes": int(nbytes)}
+
+
+def render_tape_fwd(scene: Scene, cam: Camera, cfg: RenderConfig,
+                    g_cap: int, interpret: bool | None = None,
+                    bvh=None):
+    """The taping forward: -> (img, tape).
+
+    Renders the image through the SAME windowed/parked refill schedule
+    the replay VJP runs (one win_body, one parking rule — gradkernel
+    ._make_grad_kernel tape_mode="write") while streaming each global
+    step's winner-index plane to an HBM tape of ``g_cap`` steps per
+    kernel instance.  The image is the megakernel's (same per-pixel
+    sample order and accumulation chain).
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    h, w = cfg.height, cfg.width
+    n = scene.count
+    from raytpu.kernels.megakernel import _scramble, _unscramble
+    block_w, mt, p2_steps, grid, pgrid = _p2_plan(cfg, n, bvh)
+    block_h = (_TILE_H * _TILE_W) // block_w
+
+    if bvh is not None:
+        from raytpu.bvh import permute_scene
+        scene_k = permute_scene(scene, bvh.perm)
+        nk = int(bvh.perm.shape[0])
+    else:
+        scene_k = scene
+        nk = n
+
+    n_pad = max(-(-nk // 128) * 128, 128)
+    use_flat = (bvh is not None and bvh.flat is not None
+                and bvh.n_leaves <= _FLAT_MAX_LEAVES and _TIDX)
+    m = 0 if bvh is None else (bvh.n_leaves if use_flat else bvh.n_trav)
+    packed = _pack_scene(scene_k)
+    fat, fat_pad = _pack_flat_at(packed, min_pad=n_pad)
+    from raytpu.kernels.megakernel import _bvh_outliers
+    outl = (None if bvh is None
+            else _bvh_outliers(bvh.perm, bvh.flat, bvh.leaf_size))
+
+    kernel = _make_grad_kernel(
+        cfg, n, n_nodes=m, store_idx=False, vis_w=0.0,
+        static_leaf=None if bvh is None else bvh.leaf_size,
+        flat_leaves=use_flat, fat_pad=fat_pad, skip_p1=True,
+        outliers=outl, p2_refill=True, p2_steps=p2_steps,
+        block_w=block_w, multi_tile=mt,
+        tape_mode="write", tape_gcap=int(g_cap))
+
+    operands = [_pack_camera(cam, cfg, nk, m, 0), packed]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if bvh is not None:
+        nd = bvh.flat if use_flat else bvh.nodes
+        operands.append(nd.T.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    operands.append(fat)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    plane = pl.BlockSpec((mt * _TILE_H, _TILE_W), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM)
+    out_plane = jax.ShapeDtypeStruct(
+        (grid[0] * _TILE_H, grid[1] * _TILE_W), jnp.float32)
+    tape_shape = jax.ShapeDtypeStruct(
+        (pgrid[0], pgrid[1], int(g_cap), _TILE_H, _TILE_W), jnp.float32)
+
+    r, g, b, tape = pl.pallas_call(
+        kernel,
+        grid=pgrid,
+        out_shape=(out_plane, out_plane, out_plane, tape_shape),
+        in_specs=in_specs,
+        out_specs=(plane, plane, plane,
+                   pl.BlockSpec(memory_space=pltpu.ANY)),
+        scratch_shapes=[pltpu.VMEM((2, _TILE_H, _TILE_W), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(*operands)
+
+    if block_w != _TILE_W:
+        r, g, b = (_unscramble(x, grid, block_h, block_w)
+                   for x in (r, g, b))
+    img = jnp.stack([r[:h, :w], g[:h, :w], b[:h, :w]], axis=-1)
+    return img, tape

@@ -1639,6 +1639,17 @@ def _render_pallas(scene: Scene, cam: Camera, cfg: RenderConfig,
 
 
 def _fwd(scene, cam, cfg, interpret, block_w, vis_w):
+    # under jax.grad, the taped backward applies when tape_plan says so
+    # (round 5): the forward runs the taping kernel — same image, plus
+    # the winner-index tape that lets the VJP skip its closest-hit
+    # sweep (87% of the classic VJP kernel's window forward)
+    from raytpu.kernels import gradkernel
+    plan = (None if interpret else
+            gradkernel.tape_plan(cfg, scene.count, vis_w=vis_w))
+    if plan is not None:
+        img, tape = gradkernel.render_tape_fwd(
+            scene, cam, cfg, plan["g_cap"], interpret=False)
+        return img, (scene, cam, img, tape)
     img = _render_pallas_fwd_impl(scene, cam, cfg, interpret,
                                   block_w=block_w)
     return img, (scene, cam, img)
@@ -1647,17 +1658,25 @@ def _fwd(scene, cam, cfg, interpret, block_w, vis_w):
 def _bwd(cfg, interpret, block_w, vis_w, res, ct):
     # compiled path: the fused Pallas VJP kernel (raytpu/kernels/
     # gradkernel.py) - whole reverse sweep in VMEM.  The forward image
-    # residual elides the VJP's PASS-1 forward in parallel RNG mode.
+    # residual elides the VJP's PASS-1 forward in parallel RNG mode;
+    # a tape residual (round 5) additionally elides the PASS-2 sweep.
     # Interpret mode keeps the XLA adjoint (the fused kernel's
     # interpreter is far slower than compiled XLA on CPU test sizes).
     # vis_w > 0 adds silhouette gradients on either path.
-    scene, cam, img = res
     if not interpret:
         from raytpu.kernels import gradkernel
-        _, ds, dc = gradkernel.render_pallas_vjp(scene, cam, cfg, ct,
-                                                 interpret=False,
-                                                 vis_w=vis_w, img=img)
+        if len(res) == 4:
+            scene, cam, img, tape = res
+            _, ds, dc = gradkernel.render_pallas_vjp(
+                scene, cam, cfg, ct, interpret=False, vis_w=vis_w,
+                img=img, tape=tape)
+        else:
+            scene, cam, img = res
+            _, ds, dc = gradkernel.render_pallas_vjp(
+                scene, cam, cfg, ct, interpret=False, vis_w=vis_w,
+                img=img)
         return ds, dc
+    scene, cam, img = res
     return _golden_bwd(cfg, (scene, cam), ct, vis_w)
 
 
@@ -1675,6 +1694,19 @@ def _render_pallas_bvh(scene: Scene, cam: Camera, nodes, perm, flat,
 
 def _fwd_bvh(scene, cam, nodes, perm, flat, cfg, interpret, block_w,
              vis_w, leaf_size):
+    # taped backward (round 5): see _fwd — the taping forward renders
+    # the same image while streaming the winner-index tape the VJP
+    # replays instead of re-sweeping
+    from raytpu.bvh import BVH
+    from raytpu.kernels import gradkernel
+    bvh = BVH(nodes=nodes, perm=perm, leaf_size=leaf_size, flat=flat)
+    plan = (None if interpret else
+            gradkernel.tape_plan(cfg, scene.count, bvh=bvh,
+                                 vis_w=vis_w))
+    if plan is not None:
+        img, tape = gradkernel.render_tape_fwd(
+            scene, cam, cfg, plan["g_cap"], interpret=False, bvh=bvh)
+        return img, (scene, cam, nodes, perm, flat, img, tape)
     img = _render_pallas_fwd_impl(scene, cam, cfg, interpret, nodes, perm,
                                   block_w=block_w, leaf_size=leaf_size,
                                   flat=flat)
@@ -1682,7 +1714,8 @@ def _fwd_bvh(scene, cam, nodes, perm, flat, cfg, interpret, block_w,
 
 
 def _bwd_bvh(cfg, interpret, block_w, vis_w, leaf_size, res, ct):
-    scene, cam, nodes, perm, flat, img = res
+    scene, cam, nodes, perm, flat, img = res[:6]
+    tape = res[6] if len(res) == 7 else None
     if not interpret:
         from raytpu.bvh import BVH
         from raytpu.kernels import gradkernel
@@ -1690,7 +1723,7 @@ def _bwd_bvh(cfg, interpret, block_w, vis_w, leaf_size, res, ct):
             scene, cam, cfg, ct, interpret=False,
             bvh=BVH(nodes=nodes, perm=perm, leaf_size=leaf_size,
                     flat=flat),
-            vis_w=vis_w, img=img)
+            vis_w=vis_w, img=img, tape=tape)
     else:
         ds, dc = _golden_bwd(cfg, (scene, cam), ct, vis_w)
     # BVH geometry is derived data: no cotangent (all-f32 by design)
