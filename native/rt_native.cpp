@@ -74,7 +74,12 @@ struct Builder {
                        });
       nd[6] = 0.0f;
       nd[7] = 0.0f;
-      const int half = count / 2;
+      // median rounded UP to a leaf_size multiple (mirrors bvh.py's
+      // rec(): leaves pack full -> ceil(n/leaf) leaves, not the pure
+      // halving's next-power-of-two inflation)
+      int half = count / 2;
+      half = (half + leaf_size - 1) / leaf_size * leaf_size;
+      if (half > count - 1) half = count - 1;
       build(idx, lo, lo + half);
       build(idx, lo + half, hi);
     }

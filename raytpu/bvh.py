@@ -315,7 +315,14 @@ def build_bvh(scene: Scene, leaf_size: int = 64, pad: float = 1e-4,
             cent = center[idx]
             axis = int(np.argmax(cent.max(axis=0) - cent.min(axis=0)))
             sub = np.argsort(cent[:, axis], kind="stable")
+            # split at the centroid median ROUNDED UP to a leaf_size
+            # multiple (round 5): leaves then pack full — ceil(n/leaf)
+            # leaves instead of pure halving's next-power-of-two count
+            # (10k spheres at leaf 64: 157 vs 256 leaves, 0.5% vs 39%
+            # NaN dummies — the old inflation overflowed the kernels'
+            # 1 MB SMEM scene-pack window at ~10k spheres)
             half = len(idx) // 2
+            half = min(-(-half // leaf_size) * leaf_size, len(idx) - 1)
             nodes[my][:8] = [*b_lo, *b_hi, 0.0, 0.0]
             rec(idx[sub[:half]])
             rec(idx[sub[half:]])

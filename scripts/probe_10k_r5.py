@@ -14,6 +14,23 @@ at production size.  This probe measures a ~10k-sphere scene through:
 plus the 4096-sphere cliff-edge reference (flat64).  Forward, 800x400,
 20 spp, depth 12, parallel RNG — the config-4 protocol at 20x scene
 scale.  Device-side ms via profiling.device_ms.
+
+VERDICT (one v5e, warm tunnel, 2026-08-20, right-sized builder):
+
+  4k  flat64 (64 leaves)      310.9 ms   20.6 Mrays/s device
+  10k walk64 (157 leaves)     496.5 ms   12.9 Mrays/s   <- DEFAULT WINS
+  10k flat256 (40 leaves)     526.4 ms   12.2
+  10k flat128 (79, cap 160)   563.1 ms   11.4
+  10k flat64 (157, cap 160)   777.4 ms    8.2
+
+There is NO cliff past the flat cap: the skip-pointer walk BEATS every
+flat variant at 10k (the O(L) flat bbox scan loses once L >> 64), and
+4k -> 10k scales sub-linearly in N.  The REAL large-scene limit was the
+kernels' 1 MB SMEM scene-pack window, which the old builder's power-of
+-two leaf-count inflation (256 leaves x 64 = 16385 perm entries, 39%
+NaN dummies) overflowed at ~10k spheres — fixed by rounding the median
+split to leaf_size multiples (ceil(n/leaf) leaves; bvh.py rec() /
+rt_native.cpp).  Auto-selection needs no change.
 """
 
 import json
@@ -33,7 +50,7 @@ from raytpu import profiling
 from raytpu.bvh import build_bvh
 from raytpu.config import RenderConfig
 from raytpu.render import render
-from raytpu.scene import make_scene, DIFFUSE, METAL, GLASS
+from raytpu.scene import make_scene, DIFFUSE, METAL, DIELECTRIC as GLASS
 
 
 def big_world(n: int, seed: int = 0, extent: float = 60.0):
