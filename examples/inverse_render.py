@@ -47,7 +47,7 @@ def make_problem(shift=(0.12, 0.0, 0.08), size=(96, 48)):
 
 
 def optimize(cfg, scene, cam, target, steps=120, lr=0.05, vis_w=0.005,
-             checkpoint=None, bvh=None, rebuild_every=0):
+             checkpoint=None, bvh=None, rebuild_every=16):
     """Normalized gradient descent on sphere centers; silhouette
     gradients (vis_w) supply the visibility term that pure interior
     gradients lack.  On TPU the loss+gradient is ONE fused VJP kernel
@@ -55,7 +55,17 @@ def optimize(cfg, scene, cam, target, steps=120, lr=0.05, vis_w=0.005,
 
     ``bvh``: large-scene acceleration — the boxes are REFIT to the
     moving geometry every step (raytpu.bvh.refit; jit-shared with the
-    step, so the whole loop stays one compiled graph)."""
+    step, so the whole loop stays one compiled graph).
+
+    ``rebuild_every`` (default 16): host-rebuild the tree every K steps
+    so the PARTITIONING tracks drifted geometry, not just the boxes.
+    Measured (scripts/probe_rebuild_r5.py, one v5e, config-4 scene,
+    random small-sphere drift): culling decays 4.62 -> 7.81 leaves/
+    tile-step by drift 4.0 under refit alone; a fresh build recovers
+    ~4.5% of tests (7.46) — most of the decay is inherent to de-cohered
+    geometry, so rebuilds are a cheap floor-holder, not a cure.  The
+    native builder costs ~26 ms, amortized ~1.6 ms/step at K = 16
+    (~1% of a config-4 step).  0 disables."""
     from raytpu.render import render_grad
     from raytpu import bvh as bvh_mod
 

@@ -16,6 +16,30 @@ rendering *semantics* (see SURVEY.md); the architecture here is TPU-first:
 - pixel-tile sharding over a jax.sharding.Mesh with psum'd scene gradients
 """
 
+import os as _os
+
+# Persistent XLA compilation cache (round 5): a fresh process's first
+# render of an already-seen kernel shape pays seconds, not a full
+# compile.  Measured over the remote-TPU tunnel
+# (scripts/probe_compile_cache_r5.py): first-call latency config-4
+# fwd 3.7 -> 2.4 s, fwd+bwd 6.4 -> 4.3 s cross-process (a never-seen
+# shape costs ~20-40 s wherever it compiles).  RAYTPU_CACHE=0 disables;
+# RAYTPU_CACHE_DIR overrides the location.
+if _os.environ.get("RAYTPU_CACHE", "1") != "0":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "RAYTPU_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".cache",
+                              "raytpu-xla")))
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
 from raytpu.config import RenderConfig
 from raytpu.camera import (
     Camera,

@@ -245,7 +245,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                       block_w: int = _TILE_W,
                       multi_tile: int = 1,
                       tape_mode: str = "",
-                      tape_gcap: int = 0):
+                      tape_gcap: int = 0,
+                      tape_partial: bool = False):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -1067,9 +1068,13 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     # sweep (87% of the classic VJP kernel's window
                     # forward, probe_bwd_roofline_r5).  2-slot prefetch
                     # pipeline: wait this step's plane, consume, start
-                    # the copy for step t+2 into the freed slot.  (The
-                    # clamp mirrors the writer's defensive clamp.)
-                    t_abs = jnp.minimum(goff + g, jnp.int32(tape_gcap - 1))
+                    # the copy for step t+2 into the freed slot.  The
+                    # DMA bookkeeping is UNCONDITIONAL (one wait + one
+                    # start per step keeps the semaphore pairing exact);
+                    # steps past the tape's capacity fall back to the
+                    # sweep below (partial-tape mode).
+                    t_true = goff + g
+                    t_abs = jnp.minimum(t_true, jnp.int32(tape_gcap - 1))
                     slot = jax.lax.rem(t_abs, 2)
                     pltpu.make_async_copy(
                         tape_ref.at[ti, tj, t_abs], t_stage.at[slot],
@@ -1080,13 +1085,48 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     pltpu.make_async_copy(
                         tape_ref.at[ti, tj, nxt], t_stage.at[slot],
                         t_sem.at[slot]).start()
-                    hit_any = raw >= 0
-                    idx_f = jnp.maximum(raw, 0.0)
-                    # exact one-hot extraction of the winner's attrs
-                    # (miss lanes gather column 0 — every downstream
-                    # use is scat/missed-masked, and the residual store
-                    # re-masks to match the classic kernel bit-for-bit)
-                    attrs = gather_attrs(idx_f)
+
+                    def from_tape(_):
+                        hit_any = raw >= 0
+                        idx_f = jnp.maximum(raw, 0.0)
+                        # exact one-hot extraction of the winner's
+                        # attrs (miss lanes gather column 0 — every
+                        # downstream use is scat/missed-masked, and the
+                        # residual store re-masks to match the classic
+                        # kernel bit-for-bit)
+                        return (idx_f, hit_any,
+                                gather_attrs(idx_f))
+
+                    if tape_partial:
+                        # PARTIAL tape (the worst-case schedule bound
+                        # exceeded the byte budget, e.g. refv2's depth
+                        # -50 x 60 spp): steps beyond the tape re-run
+                        # the sweep — a whole-tile scalar cond, so
+                        # typical frames (actual steps << worst case)
+                        # stay sweep-free and correctness never depends
+                        # on the tape size.  Threshold g_cap - 1, not
+                        # g_cap: the writer CLAMPS overflow writes into
+                        # the last slot, trashing it — so that slot is
+                        # only trustworthy when overflow is impossible
+                        # (the full-tape branch below).  Bool vectors
+                        # cannot ride scf.if on Mosaic (the i1-vector
+                        # class, CLAUDE.md) — the hit mask crosses the
+                        # cond as f32.
+                        def _f(fn):
+                            def g(_):
+                                i, h, a = fn(_)
+                                return (i, jnp.where(h, 1.0, 0.0), a)
+                            return g
+
+                        idx_f, hit_f, attrs = jax.lax.cond(
+                            t_true < jnp.int32(tape_gcap - 1),
+                            _f(from_tape),
+                            _f(lambda _: closest_hit(
+                                ox, oy, oz, dx, dy, dz, alive)),
+                            0)
+                        hit_any = hit_f > 0
+                    else:
+                        idx_f, hit_any, attrs = from_tape(0)
                 else:
                     idx_f, hit_any, attrs = closest_hit(
                         ox, oy, oz, dx, dy, dz, alive)
@@ -1444,7 +1484,8 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                       interpret: bool | None = None, bvh=None,
                       row0=0, rows=None, vma=None, vis_w: float = 0.0,
                       img=None, p2_refill: bool | None = None,
-                      block_w: int | None = None, tape=None):
+                      block_w: int | None = None, tape=None,
+                      tape_partial: bool = False):
     """Fused image + VJP -> (img, d_scene, d_camera) for image cotangent
     ``ct``.  Pass a BVH to accelerate large scenes (the returned d_scene
     is in the ORIGINAL sphere order).
@@ -1585,7 +1626,8 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         outliers=outl, p2_refill=p2_refill, p2_steps=p2_steps,
         block_w=block_w, multi_tile=mt,
         tape_mode="read" if use_tape else "",
-        tape_gcap=int(tape.shape[2]) if use_tape else 0)
+        tape_gcap=int(tape.shape[2]) if use_tape else 0,
+        tape_partial=bool(tape_partial))
     # nk, not n: dyn_nsph bounds the vis_w near-miss sweep, which runs
     # over the PERMUTED pack — real spheres sit at rows >= count when
     # leaves carry padding dummies (dummies are NaN and never win)
@@ -1730,12 +1772,19 @@ def _p2_plan(cfg: RenderConfig, n: int, bvh):
 
 def tape_plan(cfg: RenderConfig, n: int, bvh=None, vis_w: float = 0.0,
               interpret: bool = False):
-    """-> {"g_cap", "bytes"} when the taped backward applies, else None.
+    """-> {"g_cap", "bytes", "partial"} when the taped backward
+    applies, else None.
 
     Applies when: parallel RNG (fold_in streams), the refill PASS 2
     would engage, no silhouette terms (their near-miss sweep keeps the
-    classic kernel), compiled execution, and the worst-case tape fits
-    RAYTPU_TAPE_BUDGET."""
+    classic kernel), and compiled execution.  When the WORST-CASE
+    schedule bound fits RAYTPU_TAPE_BUDGET the tape is full (replay is
+    sweep-free by construction); otherwise the tape is sized to the
+    budget and marked ``partial`` — the replay sweeps the (typically
+    nonexistent) overflow steps, so correctness never depends on the
+    tape size.  Partial only engages when the budget covers at least
+    4x the EXPECTED step count (~2.5 bounces/sample average) — below
+    that the replay would degenerate to the classic sweep anyway."""
     import os as _os
     if not _TAPE or vis_w != 0.0 or cfg.rng_mode != "parallel":
         return None
@@ -1752,11 +1801,22 @@ def tape_plan(cfg: RenderConfig, n: int, bvh=None, vis_w: float = 0.0,
     # exceeds p2_steps steps.  One extra window of margin.
     spw = max(1, (p2_steps - d) // d)
     n_win = -(-mt * cfg.spp // spw) + 1
-    g_cap = n_win * p2_steps
-    nbytes = pgrid[0] * pgrid[1] * g_cap * _TILE_H * _TILE_W * 4
-    if nbytes > _TAPE_BUDGET:
+    g_worst = n_win * p2_steps
+    plane_bytes = _TILE_H * _TILE_W * 4
+    inst = pgrid[0] * pgrid[1]
+    g_fit = _TAPE_BUDGET // (inst * plane_bytes)
+    if g_worst <= g_fit:
+        return {"g_cap": int(g_worst),
+                "bytes": int(inst * g_worst * plane_bytes),
+                "partial": False}
+    # partial tape: budget-sized, sweep fallback past the cap
+    g_expect = int(mt * cfg.spp * 2.5 * p2_steps
+                   / max(p2_steps - d, 1)) + p2_steps
+    if g_fit < 4 * g_expect:
         return None
-    return {"g_cap": int(g_cap), "bytes": int(nbytes)}
+    return {"g_cap": int(g_fit),
+            "bytes": int(inst * g_fit * plane_bytes),
+            "partial": True}
 
 
 def render_tape_fwd(scene: Scene, cam: Camera, cfg: RenderConfig,

@@ -1667,9 +1667,10 @@ def _bwd(cfg, interpret, block_w, vis_w, res, ct):
         from raytpu.kernels import gradkernel
         if len(res) == 4:
             scene, cam, img, tape = res
+            plan = gradkernel.tape_plan(cfg, scene.count, vis_w=vis_w)
             _, ds, dc = gradkernel.render_pallas_vjp(
                 scene, cam, cfg, ct, interpret=False, vis_w=vis_w,
-                img=img, tape=tape)
+                img=img, tape=tape, tape_partial=plan["partial"])
         else:
             scene, cam, img = res
             _, ds, dc = gradkernel.render_pallas_vjp(
@@ -1719,11 +1720,15 @@ def _bwd_bvh(cfg, interpret, block_w, vis_w, leaf_size, res, ct):
     if not interpret:
         from raytpu.bvh import BVH
         from raytpu.kernels import gradkernel
+        bvh_r = BVH(nodes=nodes, perm=perm, leaf_size=leaf_size,
+                    flat=flat)
+        partial = False
+        if tape is not None:
+            partial = gradkernel.tape_plan(
+                cfg, scene.count, bvh=bvh_r, vis_w=vis_w)["partial"]
         _, ds, dc = gradkernel.render_pallas_vjp(
-            scene, cam, cfg, ct, interpret=False,
-            bvh=BVH(nodes=nodes, perm=perm, leaf_size=leaf_size,
-                    flat=flat),
-            vis_w=vis_w, img=img, tape=tape)
+            scene, cam, cfg, ct, interpret=False, bvh=bvh_r,
+            vis_w=vis_w, img=img, tape=tape, tape_partial=partial)
     else:
         ds, dc = _golden_bwd(cfg, (scene, cam), ct, vis_w)
     # BVH geometry is derived data: no cotangent (all-f32 by design)

@@ -98,6 +98,23 @@ def test_taped_image_matches_megakernel(world):
     assert float(jnp.max(jnp.abs(img_t - img_m))) <= 3e-4
 
 
+def test_partial_tape_cutover(world):
+    """A tape far smaller than the schedule must still give bit-equal
+    gradients: steps past the cap re-run the sweep in-kernel (the
+    partial-tape fallback), and the sweep computes exactly what the
+    tape would have carried."""
+    scene, bvh, cam = world
+    tiny = CFG.depth + 3  # forces most steps through the fallback
+    img, tape = gradkernel.render_tape_fwd(
+        scene, cam, CFG, tiny, interpret=True, bvh=bvh)
+    _, ds_t, _ = gradkernel.render_pallas_vjp(
+        scene, cam, CFG,
+        jnp.full((CFG.height, CFG.width, 3), 0.25, jnp.float32),
+        interpret=True, bvh=bvh, img=img, tape=tape, tape_partial=True)
+    _, ds_c, _ = _grads(scene, cam, bvh, img=img)
+    _assert_bit_equal(ds_t, ds_c)
+
+
 def test_taped_grads_multi_window(world):
     """Parking across several windows must not change gradients."""
     scene, bvh, cam = world
