@@ -620,6 +620,12 @@ def main():
         _section_floor(extra, "bench_config2")
     try:
         fwd_rays_s = bench_config2(extra)
+        # headline value: the DEVICE-side rate when the trace twin
+        # exists — the tunnel-independent chip number (wall rows keep
+        # the ~30 ms dispatch floor; at config-2's 2.3 ms frames the
+        # floor dominates the wall even amortized over 8 frames)
+        fwd_rays_s = extra.get("config2_fwd_device_rays_per_sec",
+                               fwd_rays_s)
     except Exception as e:  # noqa: BLE001
         extra["bench_config2_error"] = f"{type(e).__name__}: {e}"[:300]
         fwd_rays_s = 0.0
