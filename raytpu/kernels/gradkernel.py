@@ -215,6 +215,28 @@ _ABL = frozenset(
         "RAYTPU_BWD_ABL", "").split(",") if f)
 _WR_ATTR0 = 14
 _NWREFILL = 23 if _P2_ATTRS else 14
+
+
+def _p2_attrs_for(depth: int) -> bool:
+    """Store the 9 winner-attr planes in the refill residuals?
+
+    DEPTH-AWARE default (round 5, taped backward, one v5e):
+    config-4 depth 12 prefers stored attrs (fwd+bwd 622.2 vs 654.9 ms
+    — the reverse's re-gather costs more than the narrower window),
+    refv2 depth 50 prefers the 14-plane window (743.8 vs 787.2 ms —
+    at depth 50 the window fits barely 2 samples and the parking drain
+    dominates; 14 planes -> 187-step windows halve it).  The crossover
+    is bracketed in (12, 50); 32 splits it.  RAYTPU_P2_ATTRS forces.
+    """
+    import os as _os
+    env = _os.environ.get("RAYTPU_P2_ATTRS")
+    if env is not None:
+        return bool(int(env))
+    return depth <= 32
+
+
+def _nwrefill(p2_attrs: bool) -> int:
+    return 23 if p2_attrs else 14
 # flag bits in the _WR_FLG plane (i32 bitcast)
 _F_SCAT, _F_MISS, _F_FRESH, _F_FIN = 1, 2, 4, 8
 # residual-step VMEM budget for the refill PASS 2 (per-window step cap;
@@ -246,7 +268,8 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                       multi_tile: int = 1,
                       tape_mode: str = "",
                       tape_gcap: int = 0,
-                      tape_partial: bool = False):
+                      tape_partial: bool = False,
+                      p2_attrs: bool = True):
     depth = cfg.depth
     spp = cfg.spp
     parallel = cfg.rng_mode == "parallel"
@@ -1191,7 +1214,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     res_ref[g, _WR_SEED] = pltpu.bitcast(sd, jnp.float32)
                     res_ref[g, _WR_SPL] = s_cur
                     res_ref[g, _WR_MPL] = m_pl
-                    if _P2_ATTRS:
+                    if p2_attrs:
                         # masked like the reverse's gather-by-stored-idx
                         # (idx = -1 for non-scat lanes -> all-zero
                         # attrs), so the reverse reads bit-identical
@@ -1326,7 +1349,7 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     # matmul (idx = -1 misses extract all-zero columns;
                     # every use downstream is guarded/masked), or read
                     # back from the stored planes (RAYTPU_P2_ATTRS)
-                    if _P2_ATTRS:
+                    if p2_attrs:
                         attrs = tuple(res_ref[g, _WR_ATTR0 + _k]
                                       for _k in range(9))
                     else:
@@ -1591,10 +1614,14 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                  cfg.spp * cfg.depth * tile_bytes <= _IDX_VMEM_BUDGET)
     # window size: as many residual-step rows as the VMEM budget allows,
     # never fewer than one full-depth sample, never more than the
-    # worst-case total (spp * depth: every sample runs to the cap)
+    # worst-case total (spp * depth: every sample runs to the cap).
+    # The plane count is depth-aware (_p2_attrs_for): deep bounces
+    # favor the narrow 14-plane window (less parking drain).
+    p2a = _p2_attrs_for(cfg.depth)
+    nwr = _nwrefill(p2a)
     p2_steps = (max(cfg.depth, min(cfg.spp * cfg.depth,
                                    _P2_VMEM_BUDGET
-                                   // (_NWREFILL * tile_bytes)))
+                                   // (nwr * tile_bytes)))
                 if p2_refill else 0)
     # multi-tile grouping (forward megakernel policy: largest divisor
     # of the row-block count <= _MULTI_TILE) — the refill PASS 2's
@@ -1627,7 +1654,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         block_w=block_w, multi_tile=mt,
         tape_mode="read" if use_tape else "",
         tape_gcap=int(tape.shape[2]) if use_tape else 0,
-        tape_partial=bool(tape_partial))
+        tape_partial=bool(tape_partial), p2_attrs=p2a)
     # nk, not n: dyn_nsph bounds the vis_w near-miss sweep, which runs
     # over the PERMUTED pack — real spheres sit at rows >= count when
     # leaves carry padding dummies (dummies are NaN and never win)
@@ -1654,7 +1681,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
                      lay(img_pad[:, :, 2])]
         in_specs += [plane, plane, plane]
     scratch = [
-        pltpu.VMEM((p2_steps, _NWREFILL, _TILE_H, _TILE_W), jnp.float32)
+        pltpu.VMEM((p2_steps, nwr, _TILE_H, _TILE_W), jnp.float32)
         if p2_refill else
         pltpu.VMEM((cfg.depth, _NRES, _TILE_H, _TILE_W), jnp.float32),
     ]
@@ -1766,7 +1793,8 @@ def _p2_plan(cfg: RenderConfig, n: int, bvh):
     tile_bytes = _TILE_H * _TILE_W * 4
     p2_steps = max(cfg.depth, min(cfg.spp * cfg.depth,
                                   _P2_VMEM_BUDGET
-                                  // (_NWREFILL * tile_bytes)))
+                                  // (_nwrefill(_p2_attrs_for(cfg.depth))
+                                      * tile_bytes)))
     return block_w, mt, p2_steps, grid, (grid[0] // mt, grid[1])
 
 
@@ -1863,7 +1891,8 @@ def render_tape_fwd(scene: Scene, cam: Camera, cfg: RenderConfig,
         flat_leaves=use_flat, fat_pad=fat_pad, skip_p1=True,
         outliers=outl, p2_refill=True, p2_steps=p2_steps,
         block_w=block_w, multi_tile=mt,
-        tape_mode="write", tape_gcap=int(g_cap))
+        tape_mode="write", tape_gcap=int(g_cap),
+        p2_attrs=_p2_attrs_for(cfg.depth))
 
     operands = [_pack_camera(cam, cfg, nk, m, 0), packed]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -115,6 +115,20 @@ def test_partial_tape_cutover(world):
     _assert_bit_equal(ds_t, ds_c)
 
 
+def test_taped_grads_14plane(world, monkeypatch):
+    """The narrow-window mode (no stored attr planes — the depth>32
+    default) must also replay bit-equal: the reverse re-gathers attrs
+    by stored index instead of reading residual planes."""
+    monkeypatch.setenv("RAYTPU_P2_ATTRS", "0")
+    scene, bvh, cam = world
+    plan = gradkernel.tape_plan(CFG, scene.count, bvh=bvh)
+    img, tape = gradkernel.render_tape_fwd(
+        scene, cam, CFG, plan["g_cap"], interpret=True, bvh=bvh)
+    _, ds_t, _ = _grads(scene, cam, bvh, tape=tape, img=img)
+    _, ds_c, _ = _grads(scene, cam, bvh, img=img)
+    _assert_bit_equal(ds_t, ds_c)
+
+
 def test_taped_grads_multi_window(world):
     """Parking across several windows must not change gradients."""
     scene, bvh, cam = world
