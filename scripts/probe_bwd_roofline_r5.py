@@ -17,6 +17,18 @@ Two instruments:
 Usage:
   python scripts/probe_bwd_roofline_r5.py            # full ledger
   python scripts/probe_bwd_roofline_r5.py --abl X    # one cell (JSON)
+
+LEDGER (one v5e, 2026-08-20, pre-tape classic kernel):
+  fwd+bwd total 1026.2 ms = render fwd 470.2 + VJP kernel 555.9
+  VJP kernel: norev 482.8 (window forward) -> reverse = 73.1
+              norev,nostore 483.1          -> residual stores ~ 0
+              noscatter 504.5              -> scatter matmuls = 51.4
+              novjp 536.7                  -> vjp transpose  = 19.2
+  => the VJP kernel was 87% a DUPLICATED forward (its closest-hit
+  sweep re-swept what the render had already swept).  This measurement
+  drove the round-5 winner-index tape: post-tape the same dispatch
+  reads 651.7 ms (VJP 152.9) and, with the right-sized builder +
+  depth-aware windows, 622.2 ms = 51.4 Mrays/s (BASELINE.md round 5).
 """
 
 import argparse

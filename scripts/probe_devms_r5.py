@@ -6,6 +6,14 @@ whole program, an underestimate if only per-kernel events exist.
 
 Prints the top device events by duration, plus the busy-union of leaf
 events, for (a) a 2-frame scanned forward, (b) a fwd+bwd grad dispatch.
+
+CONCLUSION (one v5e over the tunnel, 2026-08-20): the trace carries a
+top-level ``jit_<fn>(...)`` event that EQUALS the busy-union of the
+kernel events in both cases (fwd 4.66 = 4.66; fwd+bwd 6.00 = 6.00 ms),
+so ``profiling.device_ms``'s max-event read is exact for multi-kernel
+dispatches.  Bonus: the per-kernel events (``jvp__`` = forward
+megakernel, ``transpose_jvp__`` = fused VJP kernel) decompose a train
+step for free — the instrument behind probe_bwd_roofline_r5.py.
 """
 
 import glob

@@ -13,6 +13,15 @@ drift, the refit-only vs freshly-rebuilt tree:
 
 The verdict picks the default rebuild cadence for optimization loops
 (examples/inverse_render.py optimize(rebuild_every=...)).
+
+VERDICT (one v5e, 2026-08-20; census = device truth, walls carry
+tunnel noise): refit-only culling decays 4.62 -> 5.39 -> 7.04 -> 7.81
+leaves/tile-step at drift 0/0.5/2/4; a fresh rebuild reads 4.62 ->
+5.34 -> 6.77 -> 7.46 — i.e. MOST of the decay is inherent to
+de-cohered geometry and a rebuild recovers only ~4.5% of tests at
+large drift.  Host build costs ~26 ms (native builder).  Default:
+rebuild_every=16 (amortized ~1.6 ms/step, ~1% of a config-4 step) — a
+cheap floor-holder, not a cure; wired in examples/inverse_render.py.
 """
 
 import json
