@@ -1778,12 +1778,14 @@ _TAPE_BUDGET = int(float(__import__("os").environ.get(
     "RAYTPU_TAPE_BUDGET", str(4 * 2**30))))
 
 
-def _p2_plan(cfg: RenderConfig, n: int, bvh):
+def _p2_plan(cfg: RenderConfig, n: int, bvh, h: int | None = None):
     """The (block_w, mt, p2_steps, grid, pgrid) the windowed refill
     PASS 2 will use — shared by the taping forward and the replay so
-    their schedules agree by construction."""
+    their schedules agree by construction.  ``h`` overrides the frame
+    height for row-slab (sharded) execution."""
     from raytpu.kernels.megakernel import _auto_block_w, _mt_for
-    h = cfg.height
+    if h is None:
+        h = cfg.height
     block_w = _TILE_W if bvh is None else _auto_block_w(cfg, n, h)
     block_h = (_TILE_H * _TILE_W) // block_w
     hp = -(-h // block_h) * block_h
@@ -1799,7 +1801,7 @@ def _p2_plan(cfg: RenderConfig, n: int, bvh):
 
 
 def tape_plan(cfg: RenderConfig, n: int, bvh=None, vis_w: float = 0.0,
-              interpret: bool = False):
+              interpret: bool = False, rows: int | None = None):
     """-> {"g_cap", "bytes", "partial"} when the taped backward
     applies, else None.
 
@@ -1820,7 +1822,7 @@ def tape_plan(cfg: RenderConfig, n: int, bvh=None, vis_w: float = 0.0,
     env = _os.environ.get("RAYTPU_GRAD_REFILL")
     if env == "0" or not (n >= _REFILL_MIN or env == "1"):
         return None
-    block_w, mt, p2_steps, grid, pgrid = _p2_plan(cfg, n, bvh)
+    block_w, mt, p2_steps, grid, pgrid = _p2_plan(cfg, n, bvh, h=rows)
     d = cfg.depth
     # worst-case global steps: every busy lane completes at least
     # spw = (p2_steps - depth) // depth samples per window (respawn
@@ -1849,7 +1851,8 @@ def tape_plan(cfg: RenderConfig, n: int, bvh=None, vis_w: float = 0.0,
 
 def render_tape_fwd(scene: Scene, cam: Camera, cfg: RenderConfig,
                     g_cap: int, interpret: bool | None = None,
-                    bvh=None):
+                    bvh=None, row0=0, rows: int | None = None,
+                    vma=None):
     """The taping forward: -> (img, tape).
 
     Renders the image through the SAME windowed/parked refill schedule
@@ -1861,10 +1864,10 @@ def render_tape_fwd(scene: Scene, cam: Camera, cfg: RenderConfig,
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    h, w = cfg.height, cfg.width
+    h, w = (rows if rows is not None else cfg.height), cfg.width
     n = scene.count
     from raytpu.kernels.megakernel import _scramble, _unscramble
-    block_w, mt, p2_steps, grid, pgrid = _p2_plan(cfg, n, bvh)
+    block_w, mt, p2_steps, grid, pgrid = _p2_plan(cfg, n, bvh, h=h)
     block_h = (_TILE_H * _TILE_W) // block_w
 
     if bvh is not None:
@@ -1894,7 +1897,7 @@ def render_tape_fwd(scene: Scene, cam: Camera, cfg: RenderConfig,
         tape_mode="write", tape_gcap=int(g_cap),
         p2_attrs=_p2_attrs_for(cfg.depth))
 
-    operands = [_pack_camera(cam, cfg, nk, m, 0), packed]
+    operands = [_pack_camera(cam, cfg, nk, m, row0), packed]
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM)]
     if bvh is not None:
@@ -1906,10 +1909,16 @@ def render_tape_fwd(scene: Scene, cam: Camera, cfg: RenderConfig,
 
     plane = pl.BlockSpec((mt * _TILE_H, _TILE_W), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM)
-    out_plane = jax.ShapeDtypeStruct(
-        (grid[0] * _TILE_H, grid[1] * _TILE_W), jnp.float32)
-    tape_shape = jax.ShapeDtypeStruct(
-        (pgrid[0], pgrid[1], int(g_cap), _TILE_H, _TILE_W), jnp.float32)
+
+    def _shp(shape):
+        if vma is None:
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
+        return jax.ShapeDtypeStruct(shape, jnp.float32,
+                                    vma=frozenset(vma))
+
+    out_plane = _shp((grid[0] * _TILE_H, grid[1] * _TILE_W))
+    tape_shape = _shp(
+        (pgrid[0], pgrid[1], int(g_cap), _TILE_H, _TILE_W))
 
     r, g, b, tape = pl.pallas_call(
         kernel,

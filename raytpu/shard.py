@@ -209,7 +209,8 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
 def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
                            lr: float = 1e-2, bvh=None,
                            interpret: bool | None = None,
-                           refit: bool = True):
+                           refit: bool = True,
+                           use_tape: bool | None = None):
     """Pod-scale train step on the Pallas kernels: each device renders
     its row slab with the forward megakernel, back-propagates the MSE
     cotangent through the fused VJP kernel (raytpu/kernels/gradkernel),
@@ -224,6 +225,13 @@ def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
     its sphere silently drops it from renders and gradients.  Pass
     ``refit=False`` only for frozen-geometry losses (albedo/material
     -only optimization).
+
+    ``use_tape`` (default: auto — on for compiled runs when
+    :func:`raytpu.kernels.gradkernel.tape_plan` applies at the slab
+    height): each shard's forward streams a per-slab winner-index tape
+    and the fused VJP replays it instead of re-running the closest-hit
+    sweep — the round-5 backward win (config-4 fwd+bwd 1.65x) at pod
+    scale.  Interpret runs default to the classic kernel.
     """
     from raytpu.kernels import megakernel, gradkernel
     from raytpu import bvh as bvh_mod
@@ -238,6 +246,16 @@ def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
     inv_m = 1.0 / (cfg.height * w * 3)
     do_refit = bool(refit and bvh is not None and bvh.flat is not None
                     and bvh.leaf_size)
+    # the scene arrives at step time; tape_plan's n only gates the
+    # refill threshold (_REFILL_MIN, 0 by default) so assume refill —
+    # if a raised threshold disables refill at trace time, the vjp's
+    # own assertion rejects the tape loudly
+    plan = gradkernel.tape_plan(cfg, 10**6, bvh=bvh, rows=slab)
+    if use_tape is None:
+        use_tape = (not interpret) and plan is not None
+    if use_tape and plan is None:
+        raise ValueError("use_tape=True but tape_plan declined "
+                         "(sequential RNG, or budget too small)")
 
     def shard_fn(scene, cam, target_slab):
         bvh_s = bvh_mod.refit(bvh, scene) if do_refit else bvh
@@ -246,9 +264,15 @@ def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
         leaf = None if bvh_s is None else bvh_s.leaf_size
         flat = None if bvh_s is None else bvh_s.flat
         row0 = jax.lax.axis_index(AXIS) * slab
-        img = megakernel._render_pallas_fwd_impl(
-            scene, cam, cfg, interpret, nodes, perm,
-            row0=row0, rows=slab, leaf_size=leaf, flat=flat)                       # (slab, w, 3)
+        tape = None
+        if use_tape:
+            img, tape = gradkernel.render_tape_fwd(
+                scene, cam, cfg, plan["g_cap"], interpret=interpret,
+                bvh=bvh_s, row0=row0, rows=slab)
+        else:
+            img = megakernel._render_pallas_fwd_impl(
+                scene, cam, cfg, interpret, nodes, perm,
+                row0=row0, rows=slab, leaf_size=leaf, flat=flat)
         # rows beyond the real image carry no loss
         valid = ((row0 + jnp.arange(slab)) < cfg.height)[:, None, None]
         diff = jnp.where(valid, img - target_slab, 0.0)
@@ -256,7 +280,8 @@ def make_train_step_pallas(cfg: RenderConfig, mesh: Mesh,
         ct = 2.0 * diff * inv_m
         _, ds, dc = gradkernel.render_pallas_vjp(
             scene, cam, cfg, ct, interpret=interpret, bvh=bvh_s,
-            row0=row0, rows=slab, img=img)
+            row0=row0, rows=slab, img=img, tape=tape,
+            tape_partial=False if plan is None else plan["partial"])
         ds = jax.lax.psum(ds._replace(mat_type=jnp.zeros(())), AXIS)
         dc = jax.lax.psum(dc, AXIS)
         return loss, ds, dc

@@ -129,6 +129,34 @@ def test_taped_grads_14plane(world, monkeypatch):
     _assert_bit_equal(ds_t, ds_c)
 
 
+def test_sharded_train_step_taped(world):
+    """The pod train step's taped mode (per-slab tapes under shard_map)
+    must agree with the classic sharded step — tolerance-compared
+    because the taping forward's image carries the documented
+    contraction drift vs the megakernel slab render."""
+    import jax
+    from raytpu import shard
+
+    scene, bvh, cam = world
+    mesh = shard.make_mesh(jax.devices()[:4])
+    target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
+    step_c = shard.make_train_step_pallas(CFG, mesh, lr=1.0, bvh=bvh,
+                                          use_tape=False)
+    step_t = shard.make_train_step_pallas(CFG, mesh, lr=1.0, bvh=bvh,
+                                          use_tape=True)
+    s_c, c_c, l_c = step_c(scene, cam, target)
+    s_t, c_t, l_t = step_t(scene, cam, target)
+    assert np.isfinite(float(l_t))
+    assert abs(float(l_t) - float(l_c)) <= 1e-3 * max(
+        1.0, abs(float(l_c)))
+    for name in ("center", "radius", "albedo", "mat_param"):
+        a = np.asarray(getattr(s_t, name))
+        b = np.asarray(getattr(s_c, name))
+        scale = max(float(np.abs(b - np.asarray(getattr(scene, name))
+                           ).max()), 1e-6)
+        assert float(np.abs(a - b).max()) / scale < 5e-3, name
+
+
 def test_taped_grads_multi_window(world):
     """Parking across several windows must not change gradients."""
     scene, bvh, cam = world
