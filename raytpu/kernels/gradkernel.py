@@ -194,12 +194,14 @@ _NCAM_SUMS = 18
 # Store the 9 winner-attribute planes per global step (planes 14..22)
 # so the reverse sweep reads them back instead of re-gathering via the
 # one-hot MXU matmul — trades residual-window size (14 -> 23 planes ->
-# ~0.6x steps per window; the parking tail was measured ~2%-flat vs
-# window size) for the reverse's per-step one-hot build + 8 matmuls.
-# DEFAULT ON since round 4 (probe_p2_attrs.py, one v5e chip): config-4
-# fwd+bwd 1143.1 -> 1115.6 ms @ 100 spp (+2.5%), 253.6 -> 251.6 @ 20
-# spp; bit-identical gradients both ways (the stored values are exactly
-# the gather's outputs).  RAYTPU_P2_ATTRS=0 reverts.
+# ~0.6x steps per window) for the reverse's per-step one-hot build + 8
+# matmuls.  Round 4 measured stored attrs +2.5% at config-4; round 5's
+# taped backward flipped the deep-bounce case (depth-50 refv2 prefers
+# the 14-plane window's halved parking drain, 743.8 vs 787.2 ms), so
+# the DEFAULT is now DEPTH-AWARE — see _p2_attrs_for().  This module
+# constant is only the depth<=32 value kept for external readers
+# (tests size budgets from _NWREFILL); kernels thread the per-call
+# choice.  RAYTPU_P2_ATTRS forces either way.
 _P2_ATTRS = bool(int(__import__("os").environ.get("RAYTPU_P2_ATTRS",
                                                   "1")))
 # TIMING-ONLY ablations for the backward roofline

@@ -77,5 +77,7 @@ for nm in ("center", "radius", "albedo", "mat_param"):
     ok &= cmp(nm, getattr(ds_t, nm), getattr(ds_c, nm))
 for nm in ("origin", "lower_left", "horizontal", "vertical"):
     ok &= cmp("cam." + nm, getattr(dc_t, nm), getattr(dc_c, nm))
-print("ALL BIT-EQUAL" if ok and bit_img else
-      ("allclose-only" if mode != "cpu" else "MISMATCH"))
+# grads must be bit-equal (same machine); the image only needs to sit
+# inside the contraction-drift budget
+print("PASS (grads bit-equal, img within drift budget)"
+      if ok and bit_img else "MISMATCH")
