@@ -1457,16 +1457,27 @@ def _make_grad_kernel(cfg: RenderConfig, n_spheres: int,
                     outer_cond, outer_body,
                     (zero, zero, jnp.int32(0), zero, zero, zero))
                 tot = fin_c[2]
-                # drain the last two in-flight tape copies
-                for _k in (2, 1):
-                    t_d = jnp.minimum(tot - _k, jnp.int32(tape_gcap - 1))
+                # drain BY SLOT, not by step index: each slot that ever
+                # started has EXACTLY ONE outstanding copy at loop end
+                # (the in-loop wait precedes every start).  With
+                # partial-tape overflow the clamped final steps all
+                # share one slot, so a by-index drain double-waits that
+                # slot's semaphore and strands the other — observed as
+                # a TPU worker crash (deadlocked DMA wait) on config-5
+                # @ 500 spp.  Slot s first starts at step s, hence the
+                # tot >= s+1 guards; the descriptor's index only sizes
+                # the wait.
+                t_d = jnp.minimum(tot - 1, jnp.int32(tape_gcap - 1))
+                for _s in (0, 1):
+                    if _s == 1 and tape_gcap < 2:
+                        continue  # a 1-slot tape only ever uses slot 0
 
-                    @pl.when(t_d >= 0)
-                    def _(t_d=t_d):
-                        slot = jax.lax.rem(t_d, 2)
+                    @pl.when(tot >= _s + 1)
+                    def _(_s=_s):
                         pltpu.make_async_copy(
-                            t_stage.at[slot], tape_ref.at[ti, tj, t_d],
-                            t_sem.at[slot]).wait()
+                            t_stage.at[_s],
+                            tape_ref.at[ti, tj, jnp.maximum(t_d, 0)],
+                            t_sem.at[_s]).wait()
                 # linear sums -> display image (golden._to_gamma twin)
                 inv_spp_f = jnp.float32(inv_spp)
 
@@ -1841,10 +1852,18 @@ def tape_plan(cfg: RenderConfig, n: int, bvh=None, vis_w: float = 0.0,
         return {"g_cap": int(g_worst),
                 "bytes": int(inst * g_worst * plane_bytes),
                 "partial": False}
-    # partial tape: budget-sized, sweep fallback past the cap
+    # partial tape: budget-sized, sweep fallback past the cap.  Partial
+    # COVERAGE helps proportionally (taped steps skip the sweep;
+    # uncovered steps cost what the classic kernel already paid), so
+    # engage whenever the expected coverage clears the taping forward's
+    # parking overhead: sweep share ~0.8 of the window forward
+    # (probe_bwd_roofline_r5) vs parking ~6% at depth <= 32 / up to
+    # ~27% at depth 50 -> thresholds 0.15 / 0.5.  Measured: config-5 @
+    # 500 spp (coverage ~0.34) 28.2 s classic -> taped, see BASELINE.
     g_expect = int(mt * cfg.spp * 2.5 * p2_steps
                    / max(p2_steps - d, 1)) + p2_steps
-    if g_fit < 4 * g_expect:
+    cov = g_fit / max(g_expect, 1)
+    if cov < (0.15 if d <= 32 else 0.5):
         return None
     return {"g_cap": int(g_fit),
             "bytes": int(inst * g_fit * plane_bytes),
