@@ -129,6 +129,41 @@ def test_taped_grads_14plane(world, monkeypatch):
     _assert_bit_equal(ds_t, ds_c)
 
 
+def test_taped_grads_fuzz_shapes():
+    """Random frame/scene geometries (odd widths, varying depth/spp)
+    exercise the layout machinery — block shapes, multi-tile grouping,
+    window counts, parking — the fixed-size tests cannot.  Taped grads
+    must stay bit-equal to classic at every draw."""
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        w = int(rng.integers(40, 160))
+        h = int(rng.integers(24, 72))
+        spp = int(rng.integers(1, 4))
+        depth = int(rng.integers(2, 7))
+        n = int(rng.integers(12, 90))
+        cfg = RenderConfig(width=w, height=h, spp=spp, depth=depth,
+                           rng_mode="parallel")
+        scene = raytpu.final_world(n=n)
+        bvh = build_bvh(scene, leaf_size=16)
+        cam = raytpu.make_camera((13.0, 2.0, 3.0), (0.0, 0.0, 0.0),
+                                 vfov=20.0, aspect=cfg.aspect)
+        plan = gradkernel.tape_plan(cfg, scene.count, bvh=bvh)
+        assert plan is not None, (w, h, spp, depth, n)
+        img, tape = gradkernel.render_tape_fwd(
+            scene, cam, cfg, plan["g_cap"], interpret=True, bvh=bvh)
+        ct = jnp.full((h, w, 3), 0.5, jnp.float32)
+        _, ds_t, _ = gradkernel.render_pallas_vjp(
+            scene, cam, cfg, ct, interpret=True, bvh=bvh, img=img,
+            tape=tape, tape_partial=plan["partial"])
+        _, ds_c, _ = gradkernel.render_pallas_vjp(
+            scene, cam, cfg, ct, interpret=True, bvh=bvh, img=img)
+        for name in ("center", "radius", "albedo", "mat_param"):
+            assert np.array_equal(
+                np.asarray(getattr(ds_t, name)),
+                np.asarray(getattr(ds_c, name))), (name, w, h, spp,
+                                                   depth, n)
+
+
 def test_sharded_train_step_taped(world):
     """The pod train step's taped mode (per-slab tapes under shard_map)
     must agree with the classic sharded step — tolerance-compared
