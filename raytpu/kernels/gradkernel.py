@@ -1683,7 +1683,7 @@ def render_pallas_vjp(scene: Scene, cam: Camera, cfg: RenderConfig, ct,
         # the winner-index tape stays in HBM; the kernel prefetches one
         # (8, 128) plane per step through a 2-slot DMA pipeline
         operands.append(jnp.asarray(tape, jnp.float32))
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     operands += [lay(ct_pad[:, :, 0]), lay(ct_pad[:, :, 1]),
                  lay(ct_pad[:, :, 2])]
     in_specs += [plane, plane, plane]
@@ -1947,7 +1947,7 @@ def render_tape_fwd(scene: Scene, cam: Camera, cfg: RenderConfig,
         out_shape=(out_plane, out_plane, out_plane, tape_shape),
         in_specs=in_specs,
         out_specs=(plane, plane, plane,
-                   pl.BlockSpec(memory_space=pltpu.ANY)),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[pltpu.VMEM((2, _TILE_H, _TILE_W), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,

@@ -78,7 +78,7 @@ def run(interpret):
         write_kernel,
         out_shape=jax.ShapeDtypeStruct((T, H, W), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((2, H, W), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
@@ -89,7 +89,7 @@ def run(interpret):
     out = pl.pallas_call(
         read_kernel,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((2, H, W), jnp.float32),
                         pltpu.SemaphoreType.DMA((2,))],
