@@ -29,6 +29,17 @@ LEDGER (one v5e, 2026-08-20, pre-tape classic kernel):
   drove the round-5 winner-index tape: post-tape the same dispatch
   reads 651.7 ms (VJP 152.9) and, with the right-sized builder +
   depth-aware windows, 622.2 ms = 51.4 Mrays/s (BASELINE.md round 5).
+
+POST-TAPE LEDGER (same probe re-run on the final round-5 code — the
+jax.grad path tapes automatically):
+  fwd+bwd total 621.2 ms = taping forward 468.3 + replay VJP 152.9
+  replay: norev 71.6 (tape read + one-hot gather + bounce + respawn)
+          reverse walk = 81.3, of which scatter matmuls 51.2, vjp
+          transpose 19.4, residual stores 7.1
+  => the taping forward (the round-4-exhausted sweep + ~6% parking) is
+  now 75% of the step; the biggest unexplored replay lever is the
+  per-step one-hot scatter (51 ms — the 48-row bf16x3 layout is pinned
+  by sublane-16 alignment; slimming needs a gsc-accumulator redesign).
 """
 
 import argparse
